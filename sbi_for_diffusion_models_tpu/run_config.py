@@ -1,0 +1,88 @@
+"""Experiment configuration.
+
+Field names and defaults mirror the reference ``RunConfig``
+(reference: src/sbi_for_diffusion_models/run_config.py:4-44) so downstream code
+written against the reference keeps working. The dataclass is frozen and
+hashable, which makes it safe to close over in jitted functions (it is static,
+never traced).
+
+TPU-specific knobs (all prefixed ``SIM_`` / ``MCMC_`` / ``TRAIN_``) extend the
+reference config without renaming anything the reference defines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    # Data / simulator settings (reference run_config.py:7-8)
+    MU_SENSORY: float = 1.0
+    P_SUCCESS: float = 0.75
+
+    # Training settings (reference run_config.py:11-12)
+    NUM_SIMULATIONS: int = 10_000
+    TRAIN_BATCH_SIZE: int = 4096
+
+    # Start small; likelihood approximation bias can grow when summing over
+    # many trials (reference run_config.py:15).
+    NUM_TRIALS_OBS: int = 50
+
+    # We recommend log-transforming RT but NOT the categorical choice
+    # (reference run_config.py:18).
+    LOG_RT_MANUALLY: bool = False
+
+    # Apply log to the continuous column inside the density estimator
+    # (reference run_config.py:24-25).
+    SBI_LOG_TRANSFORM_X: bool = True
+    Z_SCORE_X: str | None = "independent"
+
+    # MCMC settings (reference run_config.py:28-30)
+    NUM_CHAINS: int = 2
+    WARMUP_STEPS: int = 100
+    POSTERIOR_SAMPLES: int = 1000
+
+    # Optional likelihood tempering for debugging only (1.0 = true posterior;
+    # reference run_config.py:36-37).
+    TEMPERATURE: float = 1.0
+    THETA_TRUE_FROM_PRIOR: bool = True
+
+    # SBC settings (reference run_config.py:40-41)
+    SBC_NUM_DATASETS: int = 10
+    SBC_POST_SAMPLES: int = 1500
+
+    # ------------------------------------------------------------------
+    # TPU-native extensions (not present in the reference).
+    # ------------------------------------------------------------------
+    # MNLE architecture (reference hard-codes these at mnle.py:36-38).
+    MNLE_HIDDEN_FEATURES: int = 128
+    MNLE_NUM_TRANSFORMS: int = 10
+    MNLE_NUM_BINS: int = 24
+    MNLE_TAIL_BOUND: float = 5.0
+
+    # MNLE training loop.
+    TRAIN_LEARNING_RATE: float = 5e-4
+    TRAIN_VALIDATION_FRACTION: float = 0.1
+    TRAIN_STOP_AFTER_EPOCHS: int = 20      # early-stopping patience
+    TRAIN_MAX_EPOCHS: int = 500
+
+    # MCMC engine: "nuts" (flagship), "hmc", or "slice".
+    MCMC_METHOD: str = "nuts"
+    MCMC_MAX_TREE_DEPTH: int = 10
+    MCMC_TARGET_ACCEPT: float = 0.8
+    MCMC_THIN: int = 1
+
+    # Simulator kernel: "scan" (pure XLA) or "pallas" (fused TPU kernel).
+    SIM_KERNEL: str = "scan"
+    # Steps per early-exit chunk; pulse-aligned (200 steps = 1 pulse interval).
+    SIM_CHUNK_STEPS: int = 200
+
+    def replace(self, **kwargs) -> "RunConfig":
+        """Non-mutating override, replacing the reference's ``_CfgShim``
+        pattern (reference mnle.py:166-177)."""
+        return dataclasses.replace(self, **kwargs)
+
+
+RUN_CONFIG_PARAMS = RunConfig()
