@@ -20,6 +20,7 @@ from .distributions import (
     Uniform,
     mcmc_transform,
 )
+from .proposals import ExtendedProposal, PulseSequenceProposal
 from .models import (
     ChoiceModelParams,
     RTChoiceModelParams,
@@ -35,5 +36,17 @@ from .models import (
     rt_choice_model_simulator_torch,
     simulate_session_data_rt_choice,
 )
+from .data_simulator import (
+    sim_wrapper,
+    simulate_observed_session,
+    simulate_training_set_with_conditions,
+    summarize_trials,
+)
+from .nets import MNLE, MNLEConfig, build_mnle
+from .potentials import ConditionedMNLELogLikelihood, ThetaOnlyPosteriorPotential
+from .inference import MCMCPosterior, run_nuts, run_slice
+from .mnle import load_model, run_inference_mcmc, run_sbc, save_model, train_mnle
+from .analysis import pairplot, sbc_uniformity_stats
+from .pipeline import build_prior_theta, main
 
 __version__ = "0.1.0"

@@ -1,0 +1,394 @@
+"""MNLE training, persistence, MCMC inference, and SBC orchestration.
+
+API parity with the reference module (src/sbi_for_diffusion_models/mnle.py):
+``train_mnle`` (reference :16-50), ``run_inference_mcmc`` (:52-95),
+``run_sbc`` (:132-237), ``save_model``/``load_model`` (:247-297) — with the
+reference's broken load path fixed (filename mismatch and extraction from an
+untrained trainer, reference mnle.py:262,281-291; README.md:66,86-87).
+
+TPU-native design: training is a jitted ``lax.scan`` over minibatches per
+epoch (optax Adam, validation early-stopping); inference is many-chain NUTS
+(or vectorized slice) vmapped on device; SBC datasets run as a batched axis
+instead of the reference's serial Python loop (reference mnle.py:183).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .distributions import Distribution, mcmc_transform
+from .inference.mcmc import MCMCPosterior
+from .models.rt_choice_model import simulate_session_data_rt_choice, pack_x_rt_choice
+from .nets.mnle_net import MNLE, MNLEConfig, build_mnle
+from .potentials import ThetaOnlyPosteriorPotential, ConditionedMNLELogLikelihood
+from .run_config import RunConfig
+from .utils.rng import as_key
+
+__all__ = [
+    "train_mnle",
+    "run_inference_mcmc",
+    "run_sbc",
+    "save_model",
+    "load_model",
+]
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+def _make_loss_fn(estimator: MNLE):
+    def loss_fn(params, x, z):
+        return -jnp.mean(estimator.log_prob_fn(params, x, z))
+
+    return loss_fn
+
+
+def train_mnle(
+    cfg: RunConfig,
+    proposal_z,
+    z_train,
+    x_train,
+    device=None,
+    *,
+    seed: int | jax.Array = 0,
+    verbose: bool = True,
+) -> MNLE:
+    """Train the MNLE on pre-simulated (z, x) pairs (reference mnle.py:16-50).
+
+    The estimator factory hyperparameters mirror the reference's
+    ``likelihood_nn(model="mnle", log_transform_x=cfg.SBI_LOG_TRANSFORM_X,
+    z_score_theta="independent", z_score_x=cfg.Z_SCORE_X, hidden_features=128,
+    num_transforms=10, num_bins=24)`` (reference mnle.py:31-39).
+    ``proposal_z`` is accepted for signature parity (the reference hands it to
+    the sbi trainer as the prior); training itself only needs (z, x).
+    """
+    z = jnp.asarray(z_train, jnp.float32)
+    x = jnp.asarray(x_train, jnp.float32)
+    n = x.shape[0]
+    key = as_key(seed)
+
+    num_categories = int(np.asarray(x[:, 1]).max()) + 1
+    num_categories = max(num_categories, 3)
+    mcfg = MNLEConfig(
+        condition_dim=int(z.shape[1]),
+        num_categories=num_categories,
+        hidden_features=cfg.MNLE_HIDDEN_FEATURES,
+        num_transforms=cfg.MNLE_NUM_TRANSFORMS,
+        num_bins=cfg.MNLE_NUM_BINS,
+        tail_bound=cfg.MNLE_TAIL_BOUND,
+        log_transform_x=cfg.SBI_LOG_TRANSFORM_X,
+        z_score_theta=True,
+        z_score_x=cfg.Z_SCORE_X is not None,
+    )
+
+    # Standardization stats ("independent" z-scoring, reference mnle.py:34-35).
+    cond_mean = jnp.mean(z, axis=0)
+    cond_std = jnp.maximum(jnp.std(z, axis=0), 1e-6)
+    rt = x[:, 0]
+    t = jnp.log(jnp.maximum(rt, 1e-37)) if mcfg.log_transform_x else rt
+    x_mean = jnp.mean(t)
+    x_std = jnp.maximum(jnp.std(t), 1e-6)
+
+    estimator = build_mnle(
+        jax.random.fold_in(key, 0),
+        mcfg,
+        cond_mean=cond_mean,
+        cond_std=cond_std,
+        x_mean=x_mean,
+        x_std=x_std,
+    )
+
+    # Train/validation split (sbi default behavior: held-out validation loss
+    # drives early stopping).
+    n_val = max(int(n * cfg.TRAIN_VALIDATION_FRACTION), 1) if n > 10 else 0
+    perm = jax.random.permutation(jax.random.fold_in(key, 1), n)
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    z_tr, x_tr = z[tr_idx], x[tr_idx]
+    z_val, x_val = z[val_idx], x[val_idx]
+    n_tr = int(z_tr.shape[0])
+
+    batch_size = min(int(cfg.TRAIN_BATCH_SIZE), n_tr)
+    n_batches = max(n_tr // batch_size, 1)
+
+    loss_fn = _make_loss_fn(estimator)
+    tx = optax.adam(cfg.TRAIN_LEARNING_RATE)
+    opt_state = tx.init(estimator.params)
+
+    @jax.jit
+    def epoch_step(params, opt_state, perm_idx):
+        def body(carry, idx):
+            params, opt_state = carry
+            xb = jnp.take(x_tr, idx, axis=0)
+            zb = jnp.take(z_tr, idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(params, xb, zb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        batches = perm_idx[: n_batches * batch_size].reshape(n_batches, batch_size)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), batches)
+        return params, opt_state, jnp.mean(losses)
+
+    @jax.jit
+    def val_loss_fn(params):
+        if n_val == 0:
+            return jnp.float32(0.0)
+        return loss_fn(params, x_val, z_val)
+
+    params = estimator.params
+    best_params = params
+    best_val = np.inf
+    epochs_since_best = 0
+    for epoch in range(cfg.TRAIN_MAX_EPOCHS):
+        perm_idx = jax.random.permutation(jax.random.fold_in(key, 100 + epoch), n_tr)
+        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx)
+        vl = float(val_loss_fn(params)) if n_val > 0 else float(tr_loss)
+        if vl < best_val - 1e-5:
+            best_val = vl
+            best_params = params
+            epochs_since_best = 0
+        else:
+            epochs_since_best += 1
+        if verbose and epoch % 10 == 0:
+            print(f"[train_mnle] epoch {epoch}: train={float(tr_loss):.4f} val={vl:.4f}")
+        if epochs_since_best >= cfg.TRAIN_STOP_AFTER_EPOCHS:
+            if verbose:
+                print(f"[train_mnle] converged at epoch {epoch} (best val {best_val:.4f})")
+            break
+
+    return MNLE(
+        cfg=mcfg,
+        params=best_params,
+        cond_mean=estimator.cond_mean,
+        cond_std=estimator.cond_std,
+        x_mean=estimator.x_mean,
+        x_std=estimator.x_std,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistence (fixing the reference's broken save/load, mnle.py:241-297)
+# ---------------------------------------------------------------------------
+def _model_dir() -> Path:
+    d = Path(os.environ.get("MODEL_DIR", Path.home() / "models"))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+_DEFAULT_MODEL_FILENAME = "mnle_rt_choice_model.npz"
+
+
+def save_model(
+    estimator: MNLE,
+    cfg: Optional[RunConfig] = None,
+    filename: str = _DEFAULT_MODEL_FILENAME,
+) -> Path:
+    """Save estimator params + stats + config to one .npz
+    (replaces reference mnle.py:247-259; same default basename for both save
+    and load, unlike the reference's mismatch at mnle.py:247,262)."""
+    path = _model_dir() / filename
+    leaves = {}
+    flat = jax.tree_util.tree_flatten_with_path(estimator.params)[0]
+    for key_path, leaf in flat:
+        leaves["param:" + jax.tree_util.keystr(key_path)] = np.asarray(leaf)
+    leaves["stat:cond_mean"] = np.asarray(estimator.cond_mean)
+    leaves["stat:cond_std"] = np.asarray(estimator.cond_std)
+    leaves["stat:x_mean"] = np.asarray(estimator.x_mean)
+    leaves["stat:x_std"] = np.asarray(estimator.x_std)
+    meta = {
+        "mnle_config": estimator.cfg.__dict__,
+        "run_config": cfg.__dict__ if cfg is not None else None,
+    }
+    np.savez(path, __meta__=json.dumps(meta), **leaves)
+    print(f"[save_model] wrote {path}")
+    return path
+
+
+def load_model(filename: str = _DEFAULT_MODEL_FILENAME) -> MNLE:
+    """Rebuild a trained estimator from disk (reference load is broken —
+    mnle.py:262,281-291; this one round-trips)."""
+    path = _model_dir() / filename
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    mcfg = MNLEConfig(**meta["mnle_config"])
+    skeleton = build_mnle(jax.random.key(0), mcfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton.params)
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(data["param:" + jax.tree_util.keystr(kp)]) for kp, _ in flat],
+    )
+    return MNLE(
+        cfg=mcfg,
+        params=params,
+        cond_mean=jnp.asarray(data["stat:cond_mean"]),
+        cond_std=jnp.asarray(data["stat:cond_std"]),
+        x_mean=jnp.asarray(data["stat:x_mean"]),
+        x_std=jnp.asarray(data["stat:x_std"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+def run_inference_mcmc(
+    cfg: RunConfig,
+    prior_theta: Distribution,
+    density_estimator: MNLE,
+    x_o,
+    pulses_o,
+    device=None,
+    *,
+    seed: int | jax.Array = 0,
+    verbose: bool = True,
+) -> jnp.ndarray:
+    """Posterior sampling over theta given an observed session
+    (reference mnle.py:52-95). Returns (POSTERIOR_SAMPLES, theta_dim).
+
+    The potential is log prior(theta) + sum_i log p(x_i | theta, s_i)/T
+    (reference potentials.py:43-57) run through the constrained->unconstrained
+    ``mcmc_transform`` bijection (reference mnle.py:75). Chains are vmapped on
+    device: NUTS with warmup adaptation by default, or the vectorized slice
+    sampler (cfg.MCMC_METHOD="slice"), the fallback the reference notebooks
+    rely on (ryans_test.ipynb cell 4).
+    """
+    likelihood = ConditionedMNLELogLikelihood(density_estimator, pulses_o)
+    potential = ThetaOnlyPosteriorPotential(
+        prior=prior_theta,
+        likelihood=likelihood,
+        x_o=x_o,
+        temperature=cfg.TEMPERATURE,
+    )
+    bij = mcmc_transform(prior_theta)
+    posterior = MCMCPosterior(
+        potential_fn=potential,
+        proposal=prior_theta,
+        theta_transform=bij,
+        method=cfg.MCMC_METHOD,
+        num_chains=cfg.NUM_CHAINS,
+        warmup_steps=cfg.WARMUP_STEPS,
+        thin=cfg.MCMC_THIN,
+        max_tree_depth=cfg.MCMC_MAX_TREE_DEPTH,
+        target_accept=cfg.MCMC_TARGET_ACCEPT,
+        verbose=verbose,
+    )
+    samples = posterior.sample(
+        (cfg.POSTERIOR_SAMPLES,), x=x_o, key=as_key(seed)
+    )
+    return samples
+
+
+# ---------------------------------------------------------------------------
+# Simulation-based calibration
+# ---------------------------------------------------------------------------
+def _compute_ranks(samples: np.ndarray, theta_true: np.ndarray) -> np.ndarray:
+    """Per-dimension rank of theta_true among posterior samples
+    (reference mnle.py:98-104)."""
+    return (np.asarray(samples) < np.asarray(theta_true).reshape(1, -1)).sum(axis=0)
+
+
+def _plot_sbc_rank_histograms(
+    ranks: np.ndarray,
+    num_samples: int,
+    outdir: Path,
+    param_names=None,
+) -> Path:
+    """Per-parameter rank histograms (reference mnle.py:107-130)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ranks = np.asarray(ranks)
+    d = ranks.shape[1]
+    if param_names is None:
+        param_names = [f"theta_{i}" for i in range(d)]
+    fig, axes = plt.subplots(1, d, figsize=(3 * d, 3))
+    if d == 1:
+        axes = [axes]
+    n_bins = min(20, max(ranks.shape[0] // 2, 5))
+    expected = ranks.shape[0] / n_bins
+    for i, ax in enumerate(axes):
+        ax.hist(ranks[:, i], bins=n_bins, range=(0, num_samples), color="#4477aa")
+        ax.axhline(expected, color="k", ls="--", lw=1)
+        ax.set_title(param_names[i])
+        ax.set_xlabel("rank")
+    fig.tight_layout()
+    path = Path(outdir) / "sbc_rank_histograms.png"
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"[run_sbc] wrote {path}")
+    return path
+
+
+def run_sbc(
+    cfg: RunConfig,
+    prior_theta: Distribution,
+    density_estimator: MNLE,
+    *,
+    num_datasets: Optional[int] = None,
+    num_posterior_samples: Optional[int] = None,
+    outdir: str | Path = "mnle_outputs",
+    seed: int | jax.Array = 0,
+    verbose: bool = True,
+) -> dict:
+    """Simulation-based calibration (reference mnle.py:132-237).
+
+    For each dataset: theta_true ~ prior, simulate a session, run MCMC, rank
+    theta_true among the posterior draws. Returns
+    {"thetas_true", "ranks", "all_samples"} and writes
+    sbc_thetas_true.npy / sbc_ranks.npy / sbc_rank_histograms.png with the
+    reference's filenames (mnle.py:224-235).
+    """
+    num_datasets = int(num_datasets or cfg.SBC_NUM_DATASETS)
+    post_samples = int(num_posterior_samples or cfg.SBC_POST_SAMPLES)
+    sbc_cfg = cfg.replace(POSTERIOR_SAMPLES=post_samples)
+    key = as_key(seed)
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    thetas_true, ranks, all_samples = [], [], []
+    for i in range(num_datasets):
+        k = jax.random.fold_in(key, i)
+        theta_true = prior_theta.sample(jax.random.fold_in(k, 0), (1,))[0]
+        x_o, pulses_o = simulate_session_data_rt_choice(
+            theta_true,
+            cfg.NUM_TRIALS_OBS,
+            rng=jax.random.fold_in(k, 1),
+            mu_sensory=cfg.MU_SENSORY,
+            p_success=cfg.P_SUCCESS,
+            return_pulse_sides=True,
+        )
+        x_o = pack_x_rt_choice(x_o, log_rt=cfg.LOG_RT_MANUALLY)
+        samples = run_inference_mcmc(
+            sbc_cfg,
+            prior_theta,
+            density_estimator,
+            x_o,
+            pulses_o,
+            seed=jax.random.fold_in(k, 2),
+            verbose=False,
+        )
+        r = _compute_ranks(np.asarray(samples), np.asarray(theta_true))
+        thetas_true.append(np.asarray(theta_true))
+        ranks.append(r)
+        all_samples.append(np.asarray(samples))
+        if verbose:
+            print(f"[run_sbc] dataset {i + 1}/{num_datasets} ranks={r.tolist()}")
+
+    thetas_true = np.stack(thetas_true)
+    ranks = np.stack(ranks)
+    np.save(outdir / "sbc_thetas_true.npy", thetas_true)
+    np.save(outdir / "sbc_ranks.npy", ranks)
+    if verbose:
+        print(f"[run_sbc] wrote {outdir / 'sbc_thetas_true.npy'}")
+        print(f"[run_sbc] wrote {outdir / 'sbc_ranks.npy'}")
+    _plot_sbc_rank_histograms(ranks, post_samples, outdir)
+    return {"thetas_true": thetas_true, "ranks": ranks, "all_samples": all_samples}

@@ -1,0 +1,231 @@
+"""Mixed Neural Likelihood Estimator (MNLE) in Flax.
+
+Owns the behavior the reference delegates to ``sbi``'s
+``likelihood_nn(model="mnle", ...)`` builder and ``MixedDensityEstimator``
+(reference: src/sbi_for_diffusion_models/mnle.py:31-39, used for log_prob at
+potentials.py:113):
+
+* a **categorical head** p(choice | z) — MLP over the (z-scored) condition;
+* a **conditional normalizing flow** p(log rt | z, onehot(choice)) — a stack of
+  elementwise rational-quadratic-spline transforms (num_transforms=10,
+  num_bins=24, hidden=128 by default, matching the reference hyperparameters)
+  with a standard-normal base;
+* **input transforms** baked into log_prob: optional log on the continuous
+  column (``log_transform_x``, reference run_config.py:24-25) and independent
+  z-scoring of both condition and continuous x, with the exact change-of-
+  variables corrections.
+
+Everything is a pure function of (params, inputs): ``MNLE.log_prob`` jits,
+vmaps over trials/thetas/chains, and differentiates cleanly for NUTS.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spline import num_spline_params, rq_spline_forward, rq_spline_inverse
+
+__all__ = ["MNLEConfig", "MNLENet", "MNLE", "build_mnle"]
+
+_LOG_SQRT_2PI = 0.5 * np.log(2.0 * np.pi)
+
+
+@dataclass(frozen=True)
+class MNLEConfig:
+    """Architecture hyperparameters (defaults = reference mnle.py:36-38)."""
+
+    condition_dim: int = 85
+    num_categories: int = 3
+    hidden_features: int = 128
+    num_transforms: int = 10
+    num_bins: int = 24
+    tail_bound: float = 5.0
+    log_transform_x: bool = True
+    z_score_theta: bool = True
+    z_score_x: bool = True
+
+
+class _MLP(nn.Module):
+    hidden: int
+    out: int
+    depth: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.depth):
+            x = nn.relu(nn.Dense(self.hidden)(x))
+        return nn.Dense(self.out)(x)
+
+
+class MNLENet(nn.Module):
+    """Raw network. Operates on already-standardized inputs:
+    ``u`` = z-scored (log-)rt scalar, ``c`` = z-scored condition vector."""
+
+    cfg: MNLEConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.cat_net = _MLP(cfg.hidden_features, cfg.num_categories, depth=2)
+        # Shared context trunk for the flow + one spline-parameter head per
+        # transform (pyknos-NSF style conditioners, fused for TPU: one trunk
+        # matmul feeds all 10 heads).
+        self.flow_trunk = _MLP(cfg.hidden_features, cfg.hidden_features, depth=2)
+        self.flow_heads = [
+            nn.Dense(num_spline_params(cfg.num_bins), name=f"spline_head_{i}")
+            for i in range(cfg.num_transforms)
+        ]
+
+    def choice_logits(self, c):
+        """(..., condition_dim) -> (..., num_categories) log-probabilities."""
+        return jax.nn.log_softmax(self.cat_net(c), axis=-1)
+
+    def _spline_params(self, c, choice_onehot):
+        ctx = jnp.concatenate([c, choice_onehot], axis=-1)
+        emb = nn.relu(self.flow_trunk(ctx))
+        return [head(emb) for head in self.flow_heads]
+
+    def flow_log_prob(self, u, c, choice_onehot):
+        """log p(u | c, choice) for scalar u (shape (...,))."""
+        params = self._spline_params(c, choice_onehot)
+        log_det = jnp.zeros_like(u)
+        z = u
+        for p in params:  # normalizing direction: data -> base
+            z, ld = rq_spline_forward(
+                z, p, num_bins=self.cfg.num_bins, tail_bound=self.cfg.tail_bound
+            )
+            log_det = log_det + ld
+        base = -_LOG_SQRT_2PI - 0.5 * z**2
+        return base + log_det
+
+    def flow_sample(self, key, c, choice_onehot):
+        """Draw u ~ p(u | c, choice); c/choice_onehot shaped (..., d)."""
+        params = self._spline_params(c, choice_onehot)
+        z = jax.random.normal(key, c.shape[:-1])
+        for p in reversed(params):  # generative direction: base -> data
+            z, _ = rq_spline_inverse(
+                z, p, num_bins=self.cfg.num_bins, tail_bound=self.cfg.tail_bound
+            )
+        return z
+
+    def __call__(self, u, c, choice_onehot):
+        """Used only for init: touch all submodules."""
+        return self.choice_logits(c), self.flow_log_prob(u, c, choice_onehot)
+
+
+@dataclass
+class MNLE:
+    """Trained estimator: params + standardization stats + pure methods.
+
+    ``log_prob(x, condition)`` follows the sbi x-convention the reference packs
+    (reference rt_choice_model.py:332-343): x[..., 0] = rt (raw seconds, or
+    log-rt if the pipeline logged manually), x[..., 1] = choice in {0,1,2}.
+    ``condition[..., :]`` = z = [theta(5), pulse_sides(P)].
+    """
+
+    cfg: MNLEConfig
+    params: Any
+    cond_mean: jnp.ndarray
+    cond_std: jnp.ndarray
+    x_mean: jnp.ndarray  # scalar, stats of the (log-)rt column
+    x_std: jnp.ndarray
+    _net: MNLENet = field(init=False, repr=False, compare=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "_net", MNLENet(self.cfg))
+
+    # -- pure functional core (safe to close over under jit) ---------------
+    def log_prob_fn(self, params, x, condition):
+        """log p(x | condition), broadcasting over leading axes.
+
+        x: (..., 2); condition: (..., condition_dim). Returns (...,).
+        """
+        cfg = self.cfg
+        rt = x[..., 0]
+        choice = x[..., 1].astype(jnp.int32)
+
+        c = condition
+        if cfg.z_score_theta:
+            c = (c - self.cond_mean) / self.cond_std
+
+        log_det = jnp.zeros_like(rt)
+        t = rt
+        if cfg.log_transform_x:
+            t_safe = jnp.maximum(t, 1e-37)
+            log_det = log_det - jnp.log(t_safe)  # |d log(rt)/d rt| = 1/rt
+            t = jnp.log(t_safe)
+        if cfg.z_score_x:
+            t = (t - self.x_mean) / self.x_std
+            log_det = log_det - jnp.log(self.x_std)
+
+        onehot = jax.nn.one_hot(choice, cfg.num_categories)
+        logits = self._net.apply(
+            {"params": params}, c, method=MNLENet.choice_logits
+        )
+        cat_lp = jnp.take_along_axis(logits, choice[..., None], axis=-1)[..., 0]
+        flow_lp = self._net.apply(
+            {"params": params}, t, c, onehot, method=MNLENet.flow_log_prob
+        )
+        return cat_lp + flow_lp + log_det
+
+    def log_prob(self, x, condition):
+        return self.log_prob_fn(self.params, jnp.asarray(x), jnp.asarray(condition))
+
+    def sample_fn(self, params, key, condition):
+        """One (rt, choice) draw per condition row; condition: (..., d)."""
+        cfg = self.cfg
+        c = condition
+        if cfg.z_score_theta:
+            c = (c - self.cond_mean) / self.cond_std
+        k_cat, k_flow = jax.random.split(key)
+        logits = self._net.apply({"params": params}, c, method=MNLENet.choice_logits)
+        choice = jax.random.categorical(k_cat, logits, axis=-1)
+        onehot = jax.nn.one_hot(choice, cfg.num_categories)
+        u = self._net.apply(
+            {"params": params}, k_flow, c, onehot, method=MNLENet.flow_sample
+        )
+        t = u
+        if cfg.z_score_x:
+            t = t * self.x_std + self.x_mean
+        if cfg.log_transform_x:
+            t = jnp.exp(t)
+        return jnp.stack([t, choice.astype(jnp.float32)], axis=-1)
+
+    def sample(self, key, condition):
+        return self.sample_fn(self.params, key, jnp.asarray(condition))
+
+
+def build_mnle(
+    key: jax.Array,
+    cfg: MNLEConfig,
+    *,
+    cond_mean=None,
+    cond_std=None,
+    x_mean=0.0,
+    x_std=1.0,
+) -> MNLE:
+    """Initialize an untrained MNLE with given standardization stats."""
+    net = MNLENet(cfg)
+    u0 = jnp.zeros((1,), jnp.float32)
+    c0 = jnp.zeros((1, cfg.condition_dim), jnp.float32)
+    oh0 = jnp.zeros((1, cfg.num_categories), jnp.float32)
+    # jit the init: eager flax init dispatches hundreds of tiny ops, each
+    # individually compiled (~40s on CPU); one traced program is ~1s.
+    params = jax.jit(net.init)(key, u0, c0, oh0)["params"]
+    if cond_mean is None:
+        cond_mean = jnp.zeros((cfg.condition_dim,), jnp.float32)
+    if cond_std is None:
+        cond_std = jnp.ones((cfg.condition_dim,), jnp.float32)
+    return MNLE(
+        cfg=cfg,
+        params=params,
+        cond_mean=jnp.asarray(cond_mean, jnp.float32),
+        cond_std=jnp.asarray(cond_std, jnp.float32),
+        x_mean=jnp.asarray(x_mean, jnp.float32),
+        x_std=jnp.asarray(x_std, jnp.float32),
+    )

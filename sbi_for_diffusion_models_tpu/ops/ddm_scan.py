@@ -135,6 +135,13 @@ def ddm_rt_choice_scan(
         lower = B * (1.0 - f)
         return upper, lower
 
+    # Fast path: chunks are exactly pulse-aligned (the default), so the pulse
+    # column gather hoists out of the inner time loop and the per-step body is
+    # pure leak+noise+bound-check. The inner scan is unrolled to amortize
+    # per-step loop overhead on the VPU.
+    pulse_hoisted = chunk_steps == steps_per_pulse
+    unroll = min(10, chunk_steps)
+
     def chunk_body(carry, chunk_idx):
         a, hit, choice, hit_step = carry
         t0 = chunk_idx * chunk_steps
@@ -148,6 +155,11 @@ def ddm_rt_choice_scan(
                 * sigma_sqrt_dt
             )
             local_i = jnp.arange(chunk_steps, dtype=jnp.int32)
+            if pulse_hoisted:
+                p_idx = jnp.minimum(chunk_idx, P - 1)
+                s_col_hoisted = v * lax.dynamic_index_in_dim(
+                    s, p_idx, axis=1, keepdims=False
+                )
 
             def step(c2, xs):
                 a, hit, choice, hit_step = c2
@@ -161,10 +173,16 @@ def ddm_rt_choice_scan(
 
                 # Pulse kick on pulse steps, masked by active
                 # (rt_choice_model.py:190-192).
-                is_pulse = (t % steps_per_pulse) == 0
-                p_idx = jnp.minimum(t // steps_per_pulse, P - 1)
-                s_col = lax.dynamic_index_in_dim(s, p_idx, axis=1, keepdims=False)
-                a = a + v * s_col * (is_pulse & active).astype(jnp.float32)
+                if pulse_hoisted:
+                    kick = s_col_hoisted
+                    is_pulse = i == 0
+                else:
+                    is_pulse = (t % steps_per_pulse) == 0
+                    p_idx = jnp.minimum(t // steps_per_pulse, P - 1)
+                    kick = v * lax.dynamic_index_in_dim(
+                        s, p_idx, axis=1, keepdims=False
+                    )
+                a = a + kick * (is_pulse & active).astype(jnp.float32)
 
                 # Bound crossing; first-hit step recorded as t+1
                 # (rt_choice_model.py:195-204).
@@ -180,7 +198,7 @@ def ddm_rt_choice_scan(
                 return (a, hit, choice, hit_step), None
 
             (a, hit, choice, hit_step), _ = lax.scan(
-                step, (a, hit, choice, hit_step), (local_i, noise)
+                step, (a, hit, choice, hit_step), (local_i, noise), unroll=unroll
             )
             return (a, hit, choice, hit_step)
 

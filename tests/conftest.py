@@ -4,13 +4,15 @@ Multi-chip hardware is not available in CI, so sharding paths are validated on
 fake host devices -- the standard JAX substitute for the fake-backend
 infrastructure the reference lacks (see SURVEY.md section 4).
 
-Must set the env vars before jax initializes, hence this runs at conftest
-import time (pytest imports conftest before test modules).
+Must run before jax initializes its backends, hence this executes at conftest
+import time (pytest imports conftest before test modules). Note: the
+environment may pin JAX_PLATFORMS=axon (TPU tunnel) via sitecustomize, so a
+plain setdefault is not enough -- force both the env var and the jax config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}"
+)
