@@ -19,11 +19,11 @@ import jax.numpy as jnp
 
 def main():
     from sbi_for_diffusion_models_tpu.models.rt_choice_model import (
+        dispatch_sim_kernel,
         generate_pulse_matrix,
         n_pulses_max_from_schedule,
         pulse_schedule,
     )
-    from sbi_for_diffusion_models_tpu.ops.ddm_scan import ddm_rt_choice_scan
 
     n_max, spp = pulse_schedule()
     P = n_pulses_max_from_schedule(n_max, spp)
@@ -43,17 +43,30 @@ def main():
     ).astype(jnp.float32)
     pulses = generate_pulse_matrix(jax.random.fold_in(key, 5), N, P)
 
+    kernel = dispatch_sim_kernel()  # pallas on TPU, XLA scan elsewhere
+
     def run(k):
-        return ddm_rt_choice_scan(theta, pulses, k, steps_per_pulse=spp, n_max=n_max)
+        return kernel(
+            theta, pulses, k,
+            mu_sensory=1.0, collapse_rate=0.0,
+            steps_per_pulse=spp, n_max=n_max,
+        )
+
+    def sync(x):
+        # block_until_ready does not reliably synchronize on the axon TPU
+        # tunnel; a host transfer does.
+        import numpy as _np
+
+        return float(_np.asarray(x[:, 0]).sum())
 
     # Warmup / compile.
-    jax.block_until_ready(run(jax.random.fold_in(key, 100)))
+    sync(run(jax.random.fold_in(key, 100)))
 
     reps = 5
     t0 = time.perf_counter()
     for r in range(reps):
         out = run(jax.random.fold_in(key, 200 + r))
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
 
     trial_steps = N * n_max

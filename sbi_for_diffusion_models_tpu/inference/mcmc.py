@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..distributions import Bijector, Distribution
 from ..utils.rng import as_key
@@ -124,6 +125,12 @@ class MCMCPosterior:
             print(
                 f"[mcmc] nuts: chains={self.num_chains} draws/chain={per_chain} "
                 f"mean_accept={ap:.3f} divergences={dv}"
+            )
+        if self.verbose and self.num_chains >= 2 and per_chain >= 10:
+            from .diagnostics import summarize_chains
+
+            self._last_diagnostics = summarize_chains(
+                np.asarray(theta), verbose=True
             )
         return out
 

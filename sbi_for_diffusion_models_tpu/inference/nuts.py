@@ -462,7 +462,7 @@ def _warmup_schedule(num_warmup: int):
 # ---------------------------------------------------------------------------
 def run_nuts(
     key: jax.Array,
-    logp_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    logp_fn: Callable[..., jnp.ndarray],
     init_u: jnp.ndarray,
     *,
     num_warmup: int,
@@ -470,16 +470,25 @@ def run_nuts(
     max_depth: int = 10,
     target_accept: float = 0.8,
     thin: int = 1,
+    data=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run NUTS: warmup with step-size + diagonal-mass adaptation, then
     sampling. ``init_u``: (num_chains, D). Returns
     (samples (num_chains, num_samples, D), info dict).
+
+    ``data``: optional pytree with leading axis num_chains giving each chain
+    its own conditioning data — then ``logp_fn(u, data_i)`` is called with the
+    chain's slice. This is how SBC runs all datasets x chains in ONE compiled
+    program (the reference loops datasets serially, reference mnle.py:183).
     """
     num_chains, D = init_u.shape
-    vg_fn = jax.value_and_grad(logp_fn)
     keys = jax.random.split(key, num_chains)
 
-    def chain(chain_key, u0):
+    def chain(chain_key, u0, data_i):
+        if data is None:
+            vg_fn = jax.value_and_grad(logp_fn)
+        else:
+            vg_fn = jax.value_and_grad(lambda u: logp_fn(u, data_i))
         inv_mass = jnp.ones((D,), u0.dtype)
         k_init, k_warm, k_samp = jax.random.split(chain_key, 3)
         eps0 = find_reasonable_step_size(k_init, vg_fn, u0, inv_mass)
@@ -546,4 +555,6 @@ def run_nuts(
             "inv_mass": inv_mass,
         }
 
-    return jax.vmap(chain)(keys, init_u)
+    return jax.vmap(chain, in_axes=(0, 0, None if data is None else 0))(
+        keys, init_u, data
+    )

@@ -26,6 +26,7 @@ import optax
 
 from .distributions import Distribution, mcmc_transform
 from .inference.mcmc import MCMCPosterior
+from .inference.nuts import run_nuts
 from .models.rt_choice_model import simulate_session_data_rt_choice, pack_x_rt_choice
 from .nets.mnle_net import MNLE, MNLEConfig, build_mnle
 from .potentials import ThetaOnlyPosteriorPotential, ConditionedMNLELogLikelihood
@@ -60,6 +61,8 @@ def train_mnle(
     *,
     seed: int | jax.Array = 0,
     verbose: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 25,
 ) -> MNLE:
     """Train the MNLE on pre-simulated (z, x) pairs (reference mnle.py:16-50).
 
@@ -147,7 +150,27 @@ def train_mnle(
     best_params = params
     best_val = np.inf
     epochs_since_best = 0
-    for epoch in range(cfg.TRAIN_MAX_EPOCHS):
+    start_epoch = 0
+
+    if checkpoint_dir is not None:
+        from .utils.checkpoint import restore_train_state, save_train_state
+
+        abstract = {
+            "params": params,
+            "opt_state": opt_state,
+            "key": jax.random.key_data(key),
+            "meta": {"step": np.asarray(0, np.int64)},
+        }
+        restored = restore_train_state(checkpoint_dir, abstract, cfg=cfg)
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = int(restored["meta"]["step"]) + 1
+            best_params = params
+            if verbose:
+                print(f"[train_mnle] resumed from epoch {start_epoch - 1}")
+
+    for epoch in range(start_epoch, cfg.TRAIN_MAX_EPOCHS):
         perm_idx = jax.random.permutation(jax.random.fold_in(key, 100 + epoch), n_tr)
         params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx)
         vl = float(val_loss_fn(params)) if n_val > 0 else float(tr_loss)
@@ -159,6 +182,11 @@ def train_mnle(
             epochs_since_best += 1
         if verbose and epoch % 10 == 0:
             print(f"[train_mnle] epoch {epoch}: train={float(tr_loss):.4f} val={vl:.4f}")
+        if checkpoint_dir is not None and (epoch + 1) % checkpoint_every == 0:
+            save_train_state(
+                checkpoint_dir, epoch, params, opt_state,
+                jax.random.fold_in(key, 100 + epoch), cfg=cfg,
+            )
         if epochs_since_best >= cfg.TRAIN_STOP_AFTER_EPOCHS:
             if verbose:
                 print(f"[train_mnle] converged at epoch {epoch} (best val {best_val:.4f})")
@@ -328,6 +356,118 @@ def _plot_sbc_rank_histograms(
     return path
 
 
+def _run_sbc_batched(
+    cfg: RunConfig,
+    prior_theta: Distribution,
+    density_estimator: MNLE,
+    num_datasets: int,
+    post_samples: int,
+    outdir: Path,
+    key: jax.Array,
+    verbose: bool,
+) -> dict:
+    """All SBC datasets x chains in ONE compiled NUTS program.
+
+    The reference runs datasets serially (reference mnle.py:183) — and a
+    serial JAX port would recompile the sampler per dataset because the
+    conditioning data is baked into the potential closure. Here the dataset
+    axis is folded into the chain axis: one simulator call makes every
+    session, and ``run_nuts(data=...)`` gives each chain its dataset's
+    (x_o, pulses_o). One compile, full device parallelism.
+    """
+    import math as _math
+
+    from .models.rt_choice_model import (
+        generate_pulse_matrix,
+        n_pulses_max_from_schedule,
+        pulse_schedule,
+        rt_choice_model_simulator_torch,
+    )
+
+    D, C, T = num_datasets, cfg.NUM_CHAINS, cfg.NUM_TRIALS_OBS
+    est = density_estimator
+    bij = mcmc_transform(prior_theta)
+
+    theta_true = prior_theta.sample(jax.random.fold_in(key, 0), (D,))
+    n_max, spp = pulse_schedule()
+    P = n_pulses_max_from_schedule(n_max, spp)
+    pulses = generate_pulse_matrix(
+        jax.random.fold_in(key, 1), D * T, P, p_success=cfg.P_SUCCESS
+    )
+    theta_rep = jnp.repeat(theta_true, T, axis=0)
+    x = rt_choice_model_simulator_torch(
+        theta_rep,
+        rng=jax.random.fold_in(key, 2),
+        mu_sensory=cfg.MU_SENSORY,
+        pulse_sides=pulses,
+    )
+    x = pack_x_rt_choice(x, log_rt=cfg.LOG_RT_MANUALLY)
+    x_d = x.reshape(D, T, 2)
+    s_d = pulses.reshape(D, T, P)
+
+    temperature = cfg.TEMPERATURE
+
+    def logp(u, data):
+        x_o, s_o = data
+        theta = bij.forward(u)
+        lp = prior_theta.log_prob(theta) + bij.forward_log_det(u)
+
+        def per_trial(x_i, s_i):
+            cond = jnp.concatenate([theta, s_i], axis=-1)
+            return est.log_prob_fn(est.params, x_i, cond)
+
+        return lp + jnp.sum(jax.vmap(per_trial)(x_o, s_o)) / temperature
+
+    init_theta = prior_theta.sample(jax.random.fold_in(key, 3), (D * C,))
+    init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
+    data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_d, s_d))
+
+    per_chain = _math.ceil(post_samples / C)
+    samples_u, info = run_nuts(
+        jax.random.fold_in(key, 4),
+        logp,
+        init_u,
+        num_warmup=cfg.WARMUP_STEPS,
+        num_samples=per_chain,
+        max_depth=cfg.MCMC_MAX_TREE_DEPTH,
+        target_accept=cfg.MCMC_TARGET_ACCEPT,
+        thin=cfg.MCMC_THIN,
+        data=data,
+    )
+    theta_s = bij.forward(samples_u)  # (D*C, S, dim)
+    dim = theta_s.shape[-1]
+    # (D, C, S, dim) -> interleave chains -> (D, C*S, dim) -> trim.
+    pooled = (
+        theta_s.reshape(D, C, per_chain, dim)
+        .swapaxes(1, 2)
+        .reshape(D, C * per_chain, dim)[:, :post_samples]
+    )
+    thetas_true_np = np.asarray(theta_true)
+    samples_np = np.asarray(pooled)
+    ranks = (samples_np < thetas_true_np[:, None, :]).sum(axis=1)
+    if verbose:
+        ap = float(jnp.mean(info["accept_prob"]))
+        dv = int(jnp.sum(info["diverging"]))
+        print(
+            f"[run_sbc] batched: {D} datasets x {C} chains in one program; "
+            f"mean_accept={ap:.3f} divergences={dv}"
+        )
+        for i in range(D):
+            print(f"[run_sbc] dataset {i + 1}/{D} ranks={ranks[i].tolist()}")
+
+    np.save(outdir / "sbc_thetas_true.npy", thetas_true_np)
+    np.save(outdir / "sbc_ranks.npy", ranks)
+    if verbose:
+        print(f"[run_sbc] wrote {outdir / 'sbc_thetas_true.npy'}")
+        print(f"[run_sbc] wrote {outdir / 'sbc_ranks.npy'}")
+    _plot_sbc_rank_histograms(ranks, post_samples, outdir)
+    return {
+        "thetas_true": thetas_true_np,
+        "ranks": ranks,
+        "all_samples": [samples_np[i] for i in range(D)],
+    }
+
+
 def run_sbc(
     cfg: RunConfig,
     prior_theta: Distribution,
@@ -338,6 +478,7 @@ def run_sbc(
     outdir: str | Path = "mnle_outputs",
     seed: int | jax.Array = 0,
     verbose: bool = True,
+    batched: bool = True,
 ) -> dict:
     """Simulation-based calibration (reference mnle.py:132-237).
 
@@ -346,6 +487,10 @@ def run_sbc(
     {"thetas_true", "ranks", "all_samples"} and writes
     sbc_thetas_true.npy / sbc_ranks.npy / sbc_rank_histograms.png with the
     reference's filenames (mnle.py:224-235).
+
+    ``batched=True`` (default) folds the dataset axis into the chain axis and
+    runs everything as one compiled program (see ``_run_sbc_batched``);
+    ``batched=False`` keeps the reference's serial per-dataset loop.
     """
     num_datasets = int(num_datasets or cfg.SBC_NUM_DATASETS)
     post_samples = int(num_posterior_samples or cfg.SBC_POST_SAMPLES)
@@ -353,6 +498,18 @@ def run_sbc(
     key = as_key(seed)
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
+
+    if batched and cfg.MCMC_METHOD in ("nuts", "nuts_pyro", "hmc"):
+        return _run_sbc_batched(
+            cfg,
+            prior_theta,
+            density_estimator,
+            num_datasets,
+            post_samples,
+            outdir,
+            key,
+            verbose,
+        )
 
     thetas_true, ranks, all_samples = [], [], []
     for i in range(num_datasets):

@@ -1,0 +1,230 @@
+"""Hierarchical multi-subject pulse-DDM: per-subject theta under a population
+prior, with joint NUTS over (population, subjects).
+
+A capability extension over the reference (BASELINE.json config
+"Hierarchical multi-subject DDM: per-subject theta, many-chain MCMC sharded
+over ICI mesh"); the reference fits one theta per session only
+(reference: src/sbi_for_diffusion_models/mnle.py:52-95) and its notebooks fit
+rats independently (reference: src/notebooks/pulse_ddm_model.ipynb cells 7-9).
+
+Model (non-centered, in the unconstrained space of the single-subject prior's
+``mcmc_transform`` bijection):
+
+    mu_d     ~ Normal(m0_d, s0_d)          population location, d = 1..5
+    log tau_d~ Normal(lt0_d, st0_d)        population scale
+    eps_sd   ~ Normal(0, 1)                subject offsets (non-centered)
+    u_sd     = mu_d + tau_d * eps_sd
+    theta_s  = bijector.forward(u_s)       back to constrained DDM params
+    x_s      ~ MNLE likelihood conditioned on (theta_s, pulses_s)
+
+The joint parameter vector is [mu (5), log_tau (5), eps (S*5)]; every term is
+a pure function, so the whole posterior runs as vmapped (and mesh-sharded)
+NUTS chains.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..distributions import Bijector, Distribution, mcmc_transform
+from ..utils.rng import as_key
+
+__all__ = [
+    "HierarchicalModel",
+    "simulate_hierarchical_sessions",
+    "run_hierarchical_inference",
+]
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+@dataclass(frozen=True)
+class HierarchicalModel:
+    """Population hyperprior + the subject-level bijection."""
+
+    theta_dim: int
+    mu_loc: jnp.ndarray  # (D,) prior mean of population location
+    mu_scale: jnp.ndarray
+    log_tau_loc: jnp.ndarray
+    log_tau_scale: jnp.ndarray
+
+    @staticmethod
+    def from_prior(prior: Distribution, tau_scale: float = 0.5) -> "HierarchicalModel":
+        """Center the population prior on the single-subject prior: mu gets
+        the prior's unconstrained spread; tau ~ LogNormal(log 0.5, 0.5)."""
+        bij = mcmc_transform(prior)
+        D = bij.dim
+        return HierarchicalModel(
+            theta_dim=D,
+            mu_loc=jnp.zeros((D,), jnp.float32),
+            mu_scale=jnp.full((D,), 1.5, jnp.float32),
+            log_tau_loc=jnp.full((D,), float(np.log(tau_scale)), jnp.float32),
+            log_tau_scale=jnp.full((D,), 0.5, jnp.float32),
+        )
+
+    # -- packing ------------------------------------------------------------
+    def dim(self, num_subjects: int) -> int:
+        return 2 * self.theta_dim + num_subjects * self.theta_dim
+
+    def unpack(self, q: jnp.ndarray, num_subjects: int):
+        D = self.theta_dim
+        mu = q[:D]
+        log_tau = q[D : 2 * D]
+        eps = q[2 * D :].reshape(num_subjects, D)
+        return mu, log_tau, eps
+
+    def subject_u(self, q: jnp.ndarray, num_subjects: int) -> jnp.ndarray:
+        mu, log_tau, eps = self.unpack(q, num_subjects)
+        return mu[None, :] + jnp.exp(log_tau)[None, :] * eps
+
+    def log_prior(self, q: jnp.ndarray, num_subjects: int) -> jnp.ndarray:
+        mu, log_tau, eps = self.unpack(q, num_subjects)
+
+        def normal_lp(x, loc, scale):
+            return jnp.sum(
+                -jnp.log(scale) - _LOG_SQRT_2PI - 0.5 * ((x - loc) / scale) ** 2
+            )
+
+        return (
+            normal_lp(mu, self.mu_loc, self.mu_scale)
+            + normal_lp(log_tau, self.log_tau_loc, self.log_tau_scale)
+            + jnp.sum(-_LOG_SQRT_2PI - 0.5 * eps**2)
+        )
+
+
+def simulate_hierarchical_sessions(
+    prior: Distribution,
+    num_subjects: int,
+    trials_per_subject: int,
+    *,
+    model: Optional[HierarchicalModel] = None,
+    mu_sensory: float = 1.0,
+    p_success: float = 0.75,
+    seed=0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Draw per-subject theta from the hierarchy and simulate all sessions in
+    one batched kernel call. Returns (theta_true (S, D), x (S, T, 2),
+    pulses (S, T, P))."""
+    from .rt_choice_model import (
+        generate_pulse_matrix,
+        n_pulses_max_from_schedule,
+        pulse_schedule,
+        rt_choice_model_simulator_torch,
+    )
+
+    key = as_key(seed)
+    bij = mcmc_transform(prior)
+    if model is None:
+        model = HierarchicalModel.from_prior(prior)
+    D = model.theta_dim
+    k_mu, k_tau, k_eps, k_stim, k_sim = jax.random.split(key, 5)
+    mu = model.mu_loc + model.mu_scale * 0.5 * jax.random.normal(k_mu, (D,))
+    tau = jnp.exp(
+        model.log_tau_loc + model.log_tau_scale * 0.5 * jax.random.normal(k_tau, (D,))
+    )
+    eps = jax.random.normal(k_eps, (num_subjects, D))
+    theta_true = bij.forward(mu[None, :] + tau[None, :] * eps)
+
+    S, T = num_subjects, trials_per_subject
+    n_max, spp = pulse_schedule()
+    P = n_pulses_max_from_schedule(n_max, spp)
+    pulses = generate_pulse_matrix(k_stim, S * T, P, p_success=p_success)
+    theta_rep = jnp.repeat(theta_true, T, axis=0)
+    x = rt_choice_model_simulator_torch(
+        theta_rep, rng=k_sim, mu_sensory=mu_sensory, pulse_sides=pulses
+    )
+    return theta_true, x.reshape(S, T, 2), pulses.reshape(S, T, P)
+
+
+def run_hierarchical_inference(
+    density_estimator,
+    prior: Distribution,
+    x: jnp.ndarray,  # (S, T, 2) packed [rt, choice]
+    pulses: jnp.ndarray,  # (S, T, P)
+    *,
+    model: Optional[HierarchicalModel] = None,
+    num_chains: int = 8,
+    num_warmup: int = 300,
+    num_samples: int = 500,
+    max_tree_depth: int = 10,
+    target_accept: float = 0.8,
+    mesh=None,
+    seed=0,
+    verbose: bool = True,
+) -> dict:
+    """Joint NUTS over (mu, log_tau, eps_{1..S}); chains vmapped, and sharded
+    over a mesh when one is given. Returns population and per-subject draws in
+    constrained theta space."""
+    from ..inference.nuts import run_nuts
+
+    key = as_key(seed)
+    bij = mcmc_transform(prior)
+    if model is None:
+        model = HierarchicalModel.from_prior(prior)
+    S, T, _ = x.shape
+    D = model.theta_dim
+    x = jnp.asarray(x, jnp.float32)
+    pulses = jnp.asarray(pulses, jnp.float32)
+    est = density_estimator
+
+    def logp(q):
+        u_s = model.subject_u(q, S)  # (S, D)
+        theta_s = bij.forward(u_s)
+        # log|d theta / d u| for every subject: likelihood is over theta but
+        # NUTS runs in (mu, log_tau, eps); the bijection Jacobian enters once
+        # per subject.
+        jac = jax.vmap(bij.forward_log_det)(u_s).sum()
+
+        def subject_ll(theta_i, x_i, s_i):
+            def per_trial(x_t, s_t):
+                cond = jnp.concatenate([theta_i, s_t], axis=-1)
+                return est.log_prob_fn(est.params, x_t, cond)
+
+            return jnp.sum(jax.vmap(per_trial)(x_i, s_i))
+
+        ll = jnp.sum(jax.vmap(subject_ll)(theta_s, x, pulses))
+        return model.log_prior(q, S) + jac + ll
+
+    dim = model.dim(S)
+    init_q = 0.1 * jax.random.normal(jax.random.fold_in(key, 0), (num_chains, dim))
+
+    if mesh is not None:
+        from ..parallel.mesh import sharded_run_nuts
+
+        samples, info = sharded_run_nuts(
+            jax.random.fold_in(key, 1), logp, init_q, mesh=mesh,
+            num_warmup=num_warmup, num_samples=num_samples,
+            max_depth=max_tree_depth, target_accept=target_accept,
+        )
+    else:
+        samples, info = run_nuts(
+            jax.random.fold_in(key, 1), logp, init_q,
+            num_warmup=num_warmup, num_samples=num_samples,
+            max_depth=max_tree_depth, target_accept=target_accept,
+        )
+
+    # (C, N, dim) -> constrained summaries.
+    C, N, _ = samples.shape
+    flat = samples.reshape(C * N, dim)
+    u_subj = jax.vmap(lambda q: model.subject_u(q, S))(flat)  # (CN, S, D)
+    theta_subj = bij.forward(u_subj)
+    mu_pop = bij.forward(flat[:, :D])  # population location mapped to theta space
+    if verbose:
+        ap = float(jnp.mean(info["accept_prob"]))
+        dv = int(jnp.sum(info["diverging"]))
+        print(
+            f"[hierarchical] chains={C} draws={N} subjects={S} "
+            f"mean_accept={ap:.3f} divergences={dv}"
+        )
+    return {
+        "raw": np.asarray(samples),
+        "theta_subjects": np.asarray(theta_subj),  # (C*N, S, D)
+        "population_theta": np.asarray(mu_pop),  # (C*N, D)
+        "info": info,
+    }

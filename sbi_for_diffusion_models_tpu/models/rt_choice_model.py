@@ -25,6 +25,43 @@ from .choice_model import generate_pulse_sides
 
 cfg = RUN_CONFIG_PARAMS
 
+
+def dispatch_sim_kernel(sim_kernel: Optional[str] = None):
+    """Pick the simulator kernel: the fused Pallas kernel on TPU, the XLA
+    scan kernel elsewhere (cfg.SIM_KERNEL: "auto" | "scan" | "pallas")."""
+    choice = sim_kernel or cfg.SIM_KERNEL
+    if choice == "auto":
+        choice = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if choice == "pallas":
+        from ..ops.ddm_pallas import ddm_rt_choice_pallas
+
+        def run(theta, s, key, *, mu_sensory, collapse_rate, steps_per_pulse, n_max):
+            return ddm_rt_choice_pallas(
+                theta,
+                s,
+                key,
+                mu_sensory=mu_sensory,
+                collapse_rate=collapse_rate,
+                steps_per_pulse=steps_per_pulse,
+                n_max=n_max,
+            )
+
+        return run
+
+    def run(theta, s, key, *, mu_sensory, collapse_rate, steps_per_pulse, n_max):
+        return ddm_rt_choice_scan(
+            theta,
+            s,
+            key,
+            mu_sensory=mu_sensory,
+            collapse_rate=collapse_rate,
+            steps_per_pulse=steps_per_pulse,
+            chunk_steps=min(cfg.SIM_CHUNK_STEPS, steps_per_pulse),
+            n_max=n_max,
+        )
+
+    return run
+
 ArrayLike = Union[np.ndarray, jnp.ndarray]
 
 
@@ -162,14 +199,14 @@ def _simulate_rt_choice_batch(
             )
         s = s[:, :n_pulses_max]
 
-    return ddm_rt_choice_scan(
+    run = dispatch_sim_kernel()
+    return run(
         theta,
         s,
         jax.random.fold_in(key, 0),
         mu_sensory=float(mu_sensory),
         collapse_rate=float(collapse_rate),
         steps_per_pulse=steps_per_pulse,
-        chunk_steps=cfg.SIM_CHUNK_STEPS,
         n_max=n_max,
     )
 

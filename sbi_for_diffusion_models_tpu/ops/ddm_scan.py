@@ -115,7 +115,9 @@ def ddm_rt_choice_scan(
         jnp.floor((t_max - t_nd) / dt).astype(jnp.int32), 0, n_max
     )
 
-    sigma_sqrt_dt = jnp.float32(mu_sensory) * jnp.float32(dt) ** 0.5
+    # Scalar or per-trial (N,) noise scale (the 7-param variant passes
+    # per-trial sigma_a; the reference model uses one global mu_sensory).
+    sigma_sqrt_dt = jnp.asarray(mu_sensory, jnp.float32) * jnp.float32(dt) ** 0.5
     dtf = jnp.float32(dt)
     crate = jnp.float32(collapse_rate)
 

@@ -52,8 +52,13 @@ def build_prior_theta() -> MultipleIndependent:
 
 def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
     """Run the full pipeline (reference rt_choice_model_pipeline.py:48-150)."""
+    from .utils.metrics import MetricsLogger
+
     t_start = time.time()
     key = as_key(seed)
+    outdir = Path(os.environ.get("OUTDIR", "mnle_outputs"))
+    outdir.mkdir(parents=True, exist_ok=True)
+    metrics = MetricsLogger(outdir / "metrics.jsonl")
 
     n_max, steps_per_pulse = pulse_schedule()
     n_pulses = n_pulses_max_from_schedule(n_max, steps_per_pulse)
@@ -64,15 +69,24 @@ def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
     proposal_z = ExtendedProposal(prior_theta, pulse_proposal)
 
     # 1. Simulate the training set (reference :64-75).
+    t0 = time.time()
     z_train, x_train = simulate_training_set_with_conditions(
         cfg, proposal_z, seed=jax.random.fold_in(key, 1)
     )
     summarize_trials("train", x_train)
+    sim_wall = time.time() - t0
+    metrics.log("simulate", "wall_s", sim_wall)
+    metrics.log(
+        "simulate", "nominal_trial_steps_per_s",
+        cfg.NUM_SIMULATIONS * n_max / max(sim_wall, 1e-9),
+    )
 
     # 2. Train the MNLE (reference :78-82).
+    t0 = time.time()
     density_estimator = train_mnle(
         cfg, proposal_z, z_train, x_train, seed=jax.random.fold_in(key, 2)
     )
+    metrics.log("train", "wall_s", time.time() - t0)
     save_model(density_estimator, cfg)
 
     # 3. Observed session from a prior draw (reference :85-99).
@@ -89,6 +103,7 @@ def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
     summarize_trials("observed", x_o)
 
     # 4. MCMC posterior (reference :102-113).
+    t0 = time.time()
     samples = run_inference_mcmc(
         cfg,
         prior_theta,
@@ -97,10 +112,13 @@ def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
         pulses_o,
         seed=jax.random.fold_in(key, 4),
     )
+    mcmc_wall = time.time() - t0
+    metrics.log("mcmc", "wall_s", mcmc_wall)
+    metrics.log(
+        "mcmc", "posterior_samples_per_s", cfg.POSTERIOR_SAMPLES / max(mcmc_wall, 1e-9)
+    )
 
     # 5. Save artifacts with the reference's filenames (reference :116-131).
-    outdir = Path(os.environ.get("OUTDIR", "mnle_outputs"))
-    outdir.mkdir(parents=True, exist_ok=True)
     np.save(outdir / "posterior_samples_theta.npy", np.asarray(samples))
     print(f"[pipeline] wrote {outdir / 'posterior_samples_theta.npy'}")
     pairplot(
@@ -111,6 +129,7 @@ def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
     )
 
     # 6. SBC (reference :134-150).
+    t0 = time.time()
     sbc = run_sbc(
         cfg,
         prior_theta,
@@ -118,7 +137,9 @@ def main(cfg: RunConfig = RUN_CONFIG_PARAMS, *, seed: int = 0) -> dict:
         outdir=outdir,
         seed=jax.random.fold_in(key, 5),
     )
+    metrics.log("sbc", "wall_s", time.time() - t0)
 
+    metrics.log("pipeline", "total_wall_s", time.time() - t_start)
     print(f"[pipeline] total wall-clock: {time.time() - t_start:.1f}s")
     return {
         "density_estimator": density_estimator,

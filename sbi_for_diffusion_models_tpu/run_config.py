@@ -74,8 +74,9 @@ class RunConfig:
     MCMC_TARGET_ACCEPT: float = 0.8
     MCMC_THIN: int = 1
 
-    # Simulator kernel: "scan" (pure XLA) or "pallas" (fused TPU kernel).
-    SIM_KERNEL: str = "scan"
+    # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
+    # (pure XLA), or "pallas" (fused TPU kernel).
+    SIM_KERNEL: str = "auto"
     # Steps per early-exit chunk; pulse-aligned (200 steps = 1 pulse interval).
     SIM_CHUNK_STEPS: int = 200
 

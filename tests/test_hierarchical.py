@@ -1,0 +1,72 @@
+"""Hierarchical multi-subject model: packing, prior math, joint inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbi_for_diffusion_models_tpu.models.hierarchical import (
+    HierarchicalModel,
+    run_hierarchical_inference,
+    simulate_hierarchical_sessions,
+)
+from sbi_for_diffusion_models_tpu.models.rt_choice_model import pack_x_rt_choice
+from sbi_for_diffusion_models_tpu.nets.mnle_net import MNLEConfig, build_mnle
+from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+
+
+def test_pack_unpack_roundtrip():
+    prior = build_prior_theta()
+    model = HierarchicalModel.from_prior(prior)
+    S = 4
+    q = jnp.arange(model.dim(S), dtype=jnp.float32)
+    mu, log_tau, eps = model.unpack(q, S)
+    assert mu.shape == (5,) and log_tau.shape == (5,) and eps.shape == (S, 5)
+    np.testing.assert_array_equal(np.asarray(mu), np.arange(5))
+    u = model.subject_u(q, S)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(mu + jnp.exp(log_tau) * eps), rtol=1e-6
+    )
+
+
+def test_log_prior_is_gaussian_sum():
+    prior = build_prior_theta()
+    model = HierarchicalModel.from_prior(prior)
+    S = 2
+    q = jnp.zeros(model.dim(S))
+    lp = float(model.log_prior(q, S))
+    # Against scipy at the zero point.
+    from scipy.stats import norm
+
+    want = (
+        norm.logpdf(0.0, np.asarray(model.mu_loc), np.asarray(model.mu_scale)).sum()
+        + norm.logpdf(
+            0.0, np.asarray(model.log_tau_loc), np.asarray(model.log_tau_scale)
+        ).sum()
+        + norm.logpdf(np.zeros(S * 5)).sum()
+    )
+    np.testing.assert_allclose(lp, want, rtol=1e-5)
+
+
+def test_simulate_and_infer_tiny():
+    prior = build_prior_theta()
+    theta_true, x, pulses = simulate_hierarchical_sessions(
+        prior, num_subjects=2, trials_per_subject=4, seed=1
+    )
+    assert theta_true.shape == (2, 5)
+    assert x.shape == (2, 4, 2) and pulses.shape[:2] == (2, 4)
+    xp = jax.vmap(lambda xi: pack_x_rt_choice(xi, log_rt=False))(x)
+    est = build_mnle(
+        jax.random.key(0),
+        MNLEConfig(condition_dim=85, hidden_features=16, num_transforms=2, num_bins=5),
+    )
+    out = run_hierarchical_inference(
+        est, prior, xp, pulses,
+        num_chains=2, num_warmup=15, num_samples=10, max_tree_depth=5,
+        verbose=False,
+    )
+    assert out["theta_subjects"].shape == (20, 2, 5)
+    assert out["population_theta"].shape == (20, 5)
+    s = out["theta_subjects"].reshape(-1, 5)
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()  # a0 in (0,1)
+    assert (s[:, 1:4] > 0).all()  # positive supports
+    assert np.isfinite(out["raw"]).all()

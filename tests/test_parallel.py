@@ -89,3 +89,43 @@ def test_chain_sharded_nuts():
     )
     s = np.asarray(samples).reshape(-1, 3)
     np.testing.assert_allclose(s.mean(0), 2.0, atol=0.15)
+
+
+def test_tp_train_step_2d_mesh():
+    """dp x tp on a (4, 2) mesh: sharded params train and loss improves."""
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sbi_for_diffusion_models_tpu.parallel.tp import (
+        make_tp_train_step,
+        mnle_tp_specs,
+    )
+
+    mesh = Mesh(_np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    cfg = MNLEConfig(condition_dim=9, hidden_features=16, num_transforms=2, num_bins=5)
+    est = build_mnle(jax.random.key(0), cfg)
+    specs = mnle_tp_specs(est.params, mesh)
+    # At least the hidden Dense kernels must actually be sharded.
+    sharded = [s for s in jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P)) if s != P()]
+    assert len(sharded) > 0
+
+    theta, pulses = _inputs(64)
+    x = ddm_rt_choice_scan(theta, pulses, jax.random.key(2), **SIM_KW)
+    z = jnp.concatenate([theta, pulses], -1)
+
+    def loss_fn(params, x, z):
+        return -jnp.mean(est.log_prob_fn(params, x, z))
+
+    tx = optax.adam(1e-2)
+    step = make_tp_train_step(loss_fn, tx, mesh, specs)
+    params = jax.device_put(
+        est.params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    )
+    opt_state = tx.init(params)
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
+    z_s = jax.device_put(z, NamedSharding(mesh, P("data")))
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, x_s, z_s)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

@@ -1,0 +1,71 @@
+"""SBC: batched path == serial semantics, rank statistic, diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbi_for_diffusion_models_tpu.inference.diagnostics import (
+    effective_sample_size,
+    split_r_hat,
+)
+from sbi_for_diffusion_models_tpu.mnle import _compute_ranks, run_sbc
+from sbi_for_diffusion_models_tpu.nets.mnle_net import MNLEConfig, build_mnle
+from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS
+
+
+def test_compute_ranks():
+    samples = np.array([[0.1, 5.0], [0.2, 4.0], [0.3, 3.0]])
+    theta = np.array([0.25, 10.0])
+    np.testing.assert_array_equal(_compute_ranks(samples, theta), [2, 3])
+
+
+def test_diagnostics_iid_chains():
+    ch = np.random.default_rng(0).normal(size=(4, 400, 2))
+    assert (split_r_hat(ch) < 1.02).all()
+    assert (effective_sample_size(ch) > 600).all()
+
+
+def test_diagnostics_flag_stuck_chain():
+    rng = np.random.default_rng(1)
+    ch = rng.normal(size=(2, 300, 1))
+    ch[1] += 10.0  # disjoint chains -> r_hat >> 1
+    assert split_r_hat(ch)[0] > 2.0
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    prior = build_prior_theta()
+    est = build_mnle(
+        jax.random.key(0),
+        MNLEConfig(condition_dim=85, hidden_features=16, num_transforms=2, num_bins=5),
+    )
+    cfg = RUN_CONFIG_PARAMS.replace(
+        NUM_TRIALS_OBS=5, NUM_CHAINS=2, WARMUP_STEPS=25,
+        SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=20, MCMC_MAX_TREE_DEPTH=6,
+    )
+    return prior, est, cfg
+
+
+def test_run_sbc_batched_shapes_and_files(tiny_setup, tmp_path):
+    prior, est, cfg = tiny_setup
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
+    assert out["ranks"].shape == (2, 5)
+    assert out["thetas_true"].shape == (2, 5)
+    assert (out["ranks"] >= 0).all() and (out["ranks"] <= 20).all()
+    assert len(out["all_samples"]) == 2
+    assert out["all_samples"][0].shape == (20, 5)
+    for f in ("sbc_thetas_true.npy", "sbc_ranks.npy", "sbc_rank_histograms.png"):
+        assert (tmp_path / f).exists(), f
+    # Posterior samples respect the prior supports.
+    s = out["all_samples"][0]
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
+    assert (s[:, 1:4] > 0).all()
+
+
+def test_run_sbc_serial_matches_interface(tiny_setup, tmp_path):
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(SBC_NUM_DATASETS=1, SBC_POST_SAMPLES=10, WARMUP_STEPS=15)
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False, batched=False)
+    assert out["ranks"].shape == (1, 5)
