@@ -1,0 +1,125 @@
+"""Full-scale calibration run: train MNLE at a real simulation budget, then
+batched SBC with quantitative uniformity checks.
+
+This is the framework's statistical correctness oracle (SURVEY.md section 4):
+uniform SBC rank histograms <=> the learned likelihood + NUTS posterior are
+jointly calibrated, matching the reference pipeline's only end-to-end
+validation (reference README.md:93-117) but with chi-square/KS statistics
+instead of eyeballing.
+
+Usage: python benchmarks/calibration_run.py [--sims 200000] [--datasets 32]
+Writes artifacts + a JSON summary under artifacts/calibration/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sims", type=int, default=200_000)
+    p.add_argument("--datasets", type=int, default=32)
+    p.add_argument("--post-samples", type=int, default=1000)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--warmup", type=int, default=150)
+    p.add_argument("--trials-obs", type=int, default=50)
+    p.add_argument("--outdir", type=str, default="artifacts/calibration")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--reuse-model",
+        action="store_true",
+        help="load mnle_calibration.npz from MODEL_DIR instead of retraining",
+    )
+    args = p.parse_args()
+
+    from sbi_for_diffusion_models_tpu.analysis import sbc_uniformity_stats
+    from sbi_for_diffusion_models_tpu.data_simulator import (
+        simulate_training_set_with_conditions,
+        summarize_trials,
+    )
+    from sbi_for_diffusion_models_tpu.mnle import run_sbc, save_model, train_mnle
+    from sbi_for_diffusion_models_tpu.models.rt_choice_model import (
+        n_pulses_max_from_schedule,
+        pulse_schedule,
+    )
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+    from sbi_for_diffusion_models_tpu.proposals import (
+        ExtendedProposal,
+        PulseSequenceProposal,
+    )
+    from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    cfg = RUN_CONFIG_PARAMS.replace(
+        NUM_SIMULATIONS=args.sims,
+        NUM_TRIALS_OBS=args.trials_obs,
+        NUM_CHAINS=args.chains,
+        WARMUP_STEPS=args.warmup,
+        SBC_NUM_DATASETS=args.datasets,
+        SBC_POST_SAMPLES=args.post_samples,
+        TRAIN_BATCH_SIZE=4096,
+    )
+    prior = build_prior_theta()
+    P = n_pulses_max_from_schedule(*pulse_schedule())
+    proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))
+
+    if args.reuse_model:
+        from sbi_for_diffusion_models_tpu.mnle import load_model
+
+        est = load_model("mnle_calibration.npz")
+        sim_wall = train_wall = 0.0
+        print("[calibration] reusing saved mnle_calibration.npz")
+    else:
+        t0 = time.time()
+        z, x = simulate_training_set_with_conditions(cfg, proposal, seed=args.seed)
+        sim_wall = time.time() - t0
+        summarize_trials("calibration-train", x)
+        print(f"[calibration] simulated {args.sims} trials in {sim_wall:.1f}s")
+
+        t0 = time.time()
+        est = train_mnle(cfg, proposal, z, x, seed=args.seed + 1)
+        train_wall = time.time() - t0
+        print(f"[calibration] trained in {train_wall:.1f}s")
+        save_model(est, cfg, filename="mnle_calibration.npz")
+
+    t0 = time.time()
+    sbc = run_sbc(cfg, prior, est, outdir=outdir, seed=args.seed + 2)
+    sbc_wall = time.time() - t0
+
+    stats = sbc_uniformity_stats(sbc["ranks"], args.post_samples)
+    summary = {
+        "sims": args.sims,
+        "datasets": args.datasets,
+        "post_samples": args.post_samples,
+        "chains": args.chains,
+        "sim_wall_s": sim_wall,
+        "train_wall_s": train_wall,
+        "sbc_wall_s": sbc_wall,
+        "ks_pvalues": stats["ks_pvalues"],
+        "chi2_pvalues": stats["chi2_pvalues"],
+        "ranks_mean": np.asarray(sbc["ranks"]).mean(0).tolist(),
+        "backend": jax.default_backend(),
+    }
+    (outdir / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+    min_p = min(stats["ks_pvalues"])
+    print(
+        f"[calibration] min KS p-value across dims: {min_p:.4f} "
+        f"({'PASS' if min_p > 0.01 else 'MISCALIBRATED'})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,5 +48,16 @@ from .inference import MCMCPosterior, run_nuts, run_slice
 from .mnle import load_model, run_inference_mcmc, run_sbc, save_model, train_mnle
 from .analysis import pairplot, sbc_uniformity_stats
 from .pipeline import build_prior_theta, main
+from .snpe import DirectPosterior, train_snle, train_snpe
+from .datasets import make_x_from_rat_df, split_by_subject
+from .models.hierarchical import (
+    HierarchicalModel,
+    run_hierarchical_inference,
+    simulate_hierarchical_sessions,
+)
+from .models.pulse_ddm_7p import (
+    rt_choice_model_simulator_7p,
+    simulate_session_data_7p,
+)
 
 __version__ = "0.1.0"

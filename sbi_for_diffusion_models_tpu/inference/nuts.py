@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["run_nuts", "nuts_step", "find_reasonable_step_size"]
@@ -460,6 +461,18 @@ def _warmup_schedule(num_warmup: int):
 # ---------------------------------------------------------------------------
 # Full driver: warmup + sampling, vmapped over chains
 # ---------------------------------------------------------------------------
+class _ChainState(NamedTuple):
+    """Full per-chain sampler state, carried across segment launches."""
+
+    u: jnp.ndarray
+    logp: jnp.ndarray
+    g: jnp.ndarray
+    da: _DAState
+    w: _Welford
+    inv_mass: jnp.ndarray
+    eps_final: jnp.ndarray  # frozen step size used in sampling mode
+
+
 def run_nuts(
     key: jax.Array,
     logp_fn: Callable[..., jnp.ndarray],
@@ -471,6 +484,9 @@ def run_nuts(
     target_accept: float = 0.8,
     thin: int = 1,
     data=None,
+    segment_length: int = 50,
+    checkpoint_dir: str | None = None,
+    device_retries: int = 2,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run NUTS: warmup with step-size + diagonal-mass adaptation, then
     sampling. ``init_u``: (num_chains, D). Returns
@@ -480,81 +496,252 @@ def run_nuts(
     its own conditioning data — then ``logp_fn(u, data_i)`` is called with the
     chain's slice. This is how SBC runs all datasets x chains in ONE compiled
     program (the reference loops datasets serially, reference mnle.py:183).
+
+    Execution is split into fixed-length segment launches (``segment_length``
+    transitions each) of ONE compiled segment function that carries the full
+    sampler state: identical per-segment shapes mean a single compile, and no
+    single device execution runs unboundedly long (very long single launches
+    have crashed the TPU worker). Warmup flags (welford-collect /
+    window-end) are per-step scan inputs, so warmup and sampling share the
+    segment function; samples produced during warmup segments are discarded.
+
+    Fault tolerance (the elastic-recovery tier the reference lacks — it
+    loses everything on a crash, reference mnle.py:179-216): the sampler
+    state is mirrored to host after every segment; if a launch dies with a
+    runtime error (e.g. "TPU worker crashed"), the driver waits for the
+    device, re-uploads the mirrored state, and replays the segment
+    (``device_retries`` attempts). With ``checkpoint_dir`` the mirror is also
+    persisted to disk and a fresh process resumes at the first incomplete
+    segment (segment keys are derived deterministically from ``key``).
     """
     num_chains, D = init_u.shape
     keys = jax.random.split(key, num_chains)
+    L = max(int(segment_length), 1)
 
-    def chain(chain_key, u0, data_i):
+    # Per-step warmup flags from the Stan-style schedule.
+    W = num_warmup
+    collect_flags = np.zeros((max(W, 1),), np.bool_)
+    update_flags = np.zeros((max(W, 1),), np.bool_)
+    pos = 0
+    for length, is_window, update_mass in _warmup_schedule(W):
+        collect_flags[pos : pos + length] = is_window
+        pos += length
+        if update_mass:
+            update_flags[pos - 1] = True
+
+    def init_chain(chain_key, u0, data_i) -> _ChainState:
         if data is None:
             vg_fn = jax.value_and_grad(logp_fn)
         else:
             vg_fn = jax.value_and_grad(lambda u: logp_fn(u, data_i))
         inv_mass = jnp.ones((D,), u0.dtype)
-        k_init, k_warm, k_samp = jax.random.split(chain_key, 3)
-        eps0 = find_reasonable_step_size(k_init, vg_fn, u0, inv_mass)
-        da = _da_init(eps0)
+        eps0 = find_reasonable_step_size(chain_key, vg_fn, u0, inv_mass)
         logp0, g0 = vg_fn(u0)
+        return _ChainState(
+            u=u0, logp=logp0, g=g0, da=_da_init(eps0),
+            w=_welford_init(D, u0.dtype), inv_mass=inv_mass,
+            eps_final=eps0,
+        )
 
-        def warm_step(carry, k):
-            u, logp, g, da, w, inv_mass, collect = carry
-            eps = jnp.exp(da.log_eps)
-            u, logp, g, info = nuts_step(
-                k, u, logp, g, vg_fn=vg_fn, eps=eps,
-                inv_mass=inv_mass, max_depth=max_depth,
-            )
-            da = _da_update(da, info["accept_prob"], target_accept)
-            w = jax.tree.map(
-                lambda a, b: jnp.where(collect, a, b), _welford_update(w, u), w
-            )
-            return (u, logp, g, da, w, inv_mass, collect), None
+    def segment(chain_key, st: _ChainState, data_i, step_keys, flags):
+        """L transitions for one chain. flags: (warm, collect, update) (L,)."""
+        if data is None:
+            vg_fn = jax.value_and_grad(logp_fn)
+        else:
+            vg_fn = jax.value_and_grad(lambda u: logp_fn(u, data_i))
 
-        # Host-side phase loop (few phases, statically known) over jitted scans.
-        u, logp, g = u0, logp0, g0
-        w = _welford_init(D, u0.dtype)
-        phase_key = k_warm
-        for i, (length, is_window, update_mass) in enumerate(
-            _warmup_schedule(num_warmup)
-        ):
-            phase_key = jax.random.fold_in(k_warm, i)
-            ks = jax.random.split(phase_key, length)
-            collect = jnp.bool_(is_window)
-            (u, logp, g, da, w, inv_mass, _), _ = lax.scan(
-                warm_step, (u, logp, g, da, w, inv_mass, collect), ks
-            )
-            if update_mass:
-                inv_mass = _welford_var(w)
-                w = _welford_init(D, u0.dtype)
-                # Re-initialize dual averaging around the current step size
-                # with a fresh mass matrix (Stan behavior).
-                da = _da_init(jnp.exp(da.log_eps_avg))
+        def step(st: _ChainState, xs):
+            k, warm, collect, update = xs
+            eps = jnp.where(warm, jnp.exp(st.da.log_eps), st.eps_final)
 
-        eps_final = jnp.exp(da.log_eps_avg)
-
-        def sample_step(carry, k):
-            u, logp, g = carry
-            def inner(carry2, kk):
-                u, logp, g = carry2
+            def one(carry, kk):
+                u, logp, g = carry
                 u, logp, g, info = nuts_step(
-                    kk, u, logp, g, vg_fn=vg_fn, eps=eps_final,
-                    inv_mass=inv_mass, max_depth=max_depth,
+                    kk, u, logp, g, vg_fn=vg_fn, eps=eps,
+                    inv_mass=st.inv_mass, max_depth=max_depth,
                 )
                 return (u, logp, g), info
+
             (u, logp, g), infos = lax.scan(
-                inner, (u, logp, g), jax.random.split(k, thin)
+                one, (st.u, st.logp, st.g), jax.random.split(k, thin)
             )
-            last = jax.tree.map(lambda a: a[-1], infos)
-            return (u, logp, g), (u, last)
+            info = jax.tree.map(lambda a: a[-1], infos)
 
-        ks = jax.random.split(k_samp, num_samples)
-        (_, _, _), (samples, infos) = lax.scan(sample_step, (u, logp, g), ks)
-        return samples, {
-            "accept_prob": infos["accept_prob"],
-            "num_steps": infos["num_steps"],
-            "diverging": infos["diverging"],
-            "step_size": eps_final,
-            "inv_mass": inv_mass,
-        }
+            da_new = _da_update(st.da, info["accept_prob"], target_accept)
+            da = jax.tree.map(
+                lambda a, b: jnp.where(warm, a, b), da_new, st.da
+            )
+            w_new = _welford_update(st.w, u)
+            w = jax.tree.map(
+                lambda a, b: jnp.where(warm & collect, a, b), w_new, st.w
+            )
 
-    return jax.vmap(chain, in_axes=(0, 0, None if data is None else 0))(
-        keys, init_u, data
+            def window_end(args):
+                da, w, _ = args
+                # New mass matrix from the window variance; reset welford and
+                # re-center dual averaging (Stan behavior at window ends).
+                return (
+                    _da_init(jnp.exp(da.log_eps_avg)),
+                    _welford_init(D, u.dtype),
+                    _welford_var(w),
+                )
+
+            da, w, inv_mass = lax.cond(
+                warm & update, window_end, lambda a: a, (da, w, st.inv_mass)
+            )
+            eps_final = jnp.exp(da.log_eps_avg)
+            new_st = _ChainState(
+                u=u, logp=logp, g=g, da=da, w=w,
+                inv_mass=inv_mass, eps_final=eps_final,
+            )
+            return new_st, (u, info)
+
+        return lax.scan(step, st, (step_keys,) + flags)
+
+    in_data_axis = None if data is None else 0
+    init_fn = jax.jit(jax.vmap(init_chain, in_axes=(0, 0, in_data_axis)))
+    seg_fn = jax.jit(
+        jax.vmap(segment, in_axes=(0, 0, in_data_axis, 0, (None, None, None)))
     )
+
+    state = init_fn(jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys), init_u, data)
+
+    total = W + num_samples
+    n_segments = -(-total // L)
+    warm_flags_all = np.zeros((n_segments * L,), np.bool_)
+    warm_flags_all[:W] = True
+    collect_all = np.zeros((n_segments * L,), np.bool_)
+    collect_all[:W] = collect_flags[:W]
+    update_all = np.zeros((n_segments * L,), np.bool_)
+    update_all[:W] = update_flags[:W]
+
+    # Host mirrors for crash recovery.
+    keys_host = np.asarray(jax.random.key_data(keys))
+    data_host = None if data is None else jax.tree.map(np.asarray, data)
+    state_host = jax.tree.map(np.asarray, state)
+
+    ckpt_file = None
+    start_segment = 0
+    samples_host = []
+    infos_host = []
+    if checkpoint_dir is not None:
+        from pathlib import Path
+
+        ckpt_dir = Path(checkpoint_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        ckpt_file = ckpt_dir / "nuts_segments.npz"
+        if ckpt_file.exists():
+            blob = np.load(ckpt_file, allow_pickle=False)
+            start_segment = int(blob["next_segment"])
+            if start_segment > 0:
+                samples_host = [blob["samples"]]
+                infos_host = [
+                    {
+                        "accept_prob": blob["accept_prob"],
+                        "num_steps": blob["num_steps"],
+                        "diverging": blob["diverging"],
+                    }
+                ]
+                state_leaves, state_def = jax.tree.flatten(state_host)
+                state_host = jax.tree.unflatten(
+                    state_def,
+                    [blob[f"state_{i}"] for i in range(len(state_leaves))],
+                )
+                state = jax.tree.map(jnp.asarray, state_host)
+                print(
+                    f"[run_nuts] resumed at segment {start_segment}/{n_segments}"
+                )
+
+    def _restore_device_state():
+        """Re-upload everything after a device loss."""
+        jax.clear_caches()
+        ks = jax.random.wrap_key_data(jnp.asarray(keys_host))
+        st = jax.tree.map(jnp.asarray, state_host)
+        dt = None if data_host is None else jax.tree.map(jnp.asarray, data_host)
+        return ks, st, dt
+
+    def _wait_for_device(max_wait_s=900, poll_s=30):
+        import time as _time
+
+        t0 = _time.time()
+        while _time.time() - t0 < max_wait_s:
+            try:
+                ok = float(np.asarray(jnp.ones((8,), jnp.float32).sum()))
+                if ok == 8.0:
+                    return True
+            except Exception:
+                pass
+            _time.sleep(poll_s)
+        return False
+
+    for s in range(start_segment, n_segments):
+        lo = s * L
+        flags = (
+            jnp.asarray(warm_flags_all[lo : lo + L]),
+            jnp.asarray(collect_all[lo : lo + L]),
+            jnp.asarray(update_all[lo : lo + L]),
+        )
+        for attempt in range(device_retries + 1):
+            try:
+                seg_keys = jax.vmap(
+                    lambda k: jax.random.split(jax.random.fold_in(k, 1000 + s), L)
+                )(keys)
+                state_new, (u_seg, info_seg) = seg_fn(
+                    keys, state, data, seg_keys, flags
+                )
+                # Host transfer per segment: bounds device-queue depth, keeps
+                # launches short, and snapshots recovery state.
+                u_np = np.asarray(u_seg)  # (C, L, D)
+                info_np = jax.tree.map(np.asarray, info_seg)
+                state_host = jax.tree.map(np.asarray, state_new)
+                state = state_new
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if attempt >= device_retries:
+                    raise
+                print(
+                    f"[run_nuts] device lost in segment {s} "
+                    f"({type(e).__name__}); waiting for recovery "
+                    f"(attempt {attempt + 1}/{device_retries})",
+                    flush=True,
+                )
+                if not _wait_for_device():
+                    raise
+                keys, state, data = _restore_device_state()
+        samples_host.append(u_np)
+        infos_host.append(info_np)
+
+        if ckpt_file is not None:
+            state_leaves = jax.tree.leaves(state_host)
+            np.savez(
+                ckpt_file,
+                next_segment=np.asarray(s + 1),
+                samples=np.concatenate(samples_host, axis=1),
+                accept_prob=np.concatenate(
+                    [i["accept_prob"] for i in infos_host], axis=1
+                ),
+                num_steps=np.concatenate(
+                    [i["num_steps"] for i in infos_host], axis=1
+                ),
+                diverging=np.concatenate(
+                    [i["diverging"] for i in infos_host], axis=1
+                ),
+                **{f"state_{i}": leaf for i, leaf in enumerate(state_leaves)},
+            )
+
+    all_u = np.concatenate(samples_host, axis=1)  # (C, n_segments*L, D)
+    samples = jnp.asarray(all_u[:, W : W + num_samples])
+    all_info = {
+        k: np.concatenate([i[k] for i in infos_host], axis=1)[
+            :, W : W + num_samples
+        ]
+        for k in ("accept_prob", "num_steps", "diverging")
+    }
+    info = {
+        "accept_prob": jnp.asarray(all_info["accept_prob"]),
+        "num_steps": jnp.asarray(all_info["num_steps"]),
+        "diverging": jnp.asarray(all_info["diverging"]),
+        "step_size": state.eps_final,
+        "inv_mass": state.inv_mass,
+    }
+    return samples, info

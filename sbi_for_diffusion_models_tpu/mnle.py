@@ -365,8 +365,9 @@ def _run_sbc_batched(
     outdir: Path,
     key: jax.Array,
     verbose: bool,
+    group_size: int = 8,
 ) -> dict:
-    """All SBC datasets x chains in ONE compiled NUTS program.
+    """All SBC datasets x chains in one compiled NUTS program.
 
     The reference runs datasets serially (reference mnle.py:183) — and a
     serial JAX port would recompile the sampler per dataset because the
@@ -374,6 +375,12 @@ def _run_sbc_batched(
     axis is folded into the chain axis: one simulator call makes every
     session, and ``run_nuts(data=...)`` gives each chain its dataset's
     (x_o, pulses_o). One compile, full device parallelism.
+
+    Datasets are processed in groups of ``group_size`` with identical shapes,
+    so the NUTS program compiles once and is reused per group — very large
+    single launches (hundreds of chains x full warmup in one XLA execution)
+    have crashed the TPU worker, and grouping bounds the per-launch size
+    without extra compiles.
     """
     import math as _math
 
@@ -418,40 +425,78 @@ def _run_sbc_batched(
 
         return lp + jnp.sum(jax.vmap(per_trial)(x_o, s_o)) / temperature
 
-    init_theta = prior_theta.sample(jax.random.fold_in(key, 3), (D * C,))
-    init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
-    data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_d, s_d))
-
     per_chain = _math.ceil(post_samples / C)
-    samples_u, info = run_nuts(
-        jax.random.fold_in(key, 4),
-        logp,
-        init_u,
-        num_warmup=cfg.WARMUP_STEPS,
-        num_samples=per_chain,
-        max_depth=cfg.MCMC_MAX_TREE_DEPTH,
-        target_accept=cfg.MCMC_TARGET_ACCEPT,
-        thin=cfg.MCMC_THIN,
-        data=data,
-    )
-    theta_s = bij.forward(samples_u)  # (D*C, S, dim)
-    dim = theta_s.shape[-1]
-    # (D, C, S, dim) -> interleave chains -> (D, C*S, dim) -> trim.
-    pooled = (
-        theta_s.reshape(D, C, per_chain, dim)
-        .swapaxes(1, 2)
-        .reshape(D, C * per_chain, dim)[:, :post_samples]
-    )
+    G = min(group_size, D)  # datasets per launch
+    n_groups = _math.ceil(D / G)
+    pooled_groups = []
+    accepts, divergences = [], []
+
+    # Crash-resume guard: segment checkpoints are only valid for the same
+    # (key, workload shape); clear any stale ones from a different run.
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    run_id = _hashlib.sha256(
+        np.asarray(jax.random.key_data(key)).tobytes()
+        + f"{D}/{C}/{cfg.WARMUP_STEPS}/{per_chain}/{T}".encode()
+    ).hexdigest()[:16]
+    ckpt_root = outdir / "nuts_ckpt"
+    run_id_file = ckpt_root / "run_id.txt"
+    if ckpt_root.exists() and (
+        not run_id_file.exists() or run_id_file.read_text() != run_id
+    ):
+        _shutil.rmtree(ckpt_root)
+    ckpt_root.mkdir(parents=True, exist_ok=True)
+    run_id_file.write_text(run_id)
+    if verbose:
+        print(
+            f"[run_sbc] batched: {n_groups} groups of {G} datasets x {C} chains, "
+            f"{per_chain} draws/chain (first group includes the NUTS compile)",
+            flush=True,
+        )
+    for g in range(n_groups):
+        lo = g * G
+        idx = (jnp.arange(G) + lo) % D  # pad final group by wrap-around
+        x_g = x_d[idx]
+        s_g = s_d[idx]
+        init_theta = prior_theta.sample(jax.random.fold_in(key, 300 + g), (G * C,))
+        init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
+        data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_g, s_g))
+        samples_u, info = run_nuts(
+            jax.random.fold_in(key, 400 + g),
+            logp,
+            init_u,
+            num_warmup=cfg.WARMUP_STEPS,
+            num_samples=per_chain,
+            max_depth=cfg.MCMC_MAX_TREE_DEPTH,
+            target_accept=cfg.MCMC_TARGET_ACCEPT,
+            thin=cfg.MCMC_THIN,
+            data=data,
+            checkpoint_dir=(
+                str(outdir / "nuts_ckpt" / f"group_{g}")
+            ),
+        )
+        theta_s = bij.forward(samples_u)  # (G*C, S, dim)
+        dim = theta_s.shape[-1]
+        # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
+        pooled = (
+            theta_s.reshape(G, C, per_chain, dim)
+            .swapaxes(1, 2)
+            .reshape(G, C * per_chain, dim)[:, :post_samples]
+        )
+        pooled_groups.append(np.asarray(pooled))
+        accepts.append(float(jnp.mean(info["accept_prob"])))
+        divergences.append(int(jnp.sum(info["diverging"])))
+        if verbose:
+            print(
+                f"[run_sbc] group {g + 1}/{n_groups}: {G} datasets x {C} chains "
+                f"mean_accept={accepts[-1]:.3f} divergences={divergences[-1]}"
+            )
+
+    samples_np = np.concatenate(pooled_groups, axis=0)[:D]
     thetas_true_np = np.asarray(theta_true)
-    samples_np = np.asarray(pooled)
     ranks = (samples_np < thetas_true_np[:, None, :]).sum(axis=1)
     if verbose:
-        ap = float(jnp.mean(info["accept_prob"]))
-        dv = int(jnp.sum(info["diverging"]))
-        print(
-            f"[run_sbc] batched: {D} datasets x {C} chains in one program; "
-            f"mean_accept={ap:.3f} divergences={dv}"
-        )
         for i in range(D):
             print(f"[run_sbc] dataset {i + 1}/{D} ranks={ranks[i].tolist()}")
 
@@ -479,6 +524,7 @@ def run_sbc(
     seed: int | jax.Array = 0,
     verbose: bool = True,
     batched: bool = True,
+    group_size: int = 8,
 ) -> dict:
     """Simulation-based calibration (reference mnle.py:132-237).
 
@@ -509,6 +555,7 @@ def run_sbc(
             outdir,
             key,
             verbose,
+            group_size=group_size,
         )
 
     thetas_true, ranks, all_samples = [], [], []

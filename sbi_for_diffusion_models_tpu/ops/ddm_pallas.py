@@ -37,8 +37,10 @@ __all__ = ["ddm_rt_choice_pallas"]
 _TWO_PI = 2.0 * math.pi
 
 
-def _normals(shape):
-    """Standard normals via Box-Muller on hardware PRNG bits.
+def _normal_pair(shape):
+    """TWO independent standard-normal tiles from one Box-Muller transform
+    (z1 = r cos, z2 = r sin share the log and sqrt — 1 log + 1 sqrt + 1 sin +
+    1 cos per two normals instead of per one).
 
     prng_random_bits yields (signed) int32; use a *logical* shift to get the
     top 24 bits as a non-negative value before the float convert.
@@ -51,7 +53,8 @@ def _normals(shape):
     )  # uniform in (0, 1), bounded away from 0
     u2 = b2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    ang = _TWO_PI * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
 
 
 def _kernel(
@@ -103,17 +106,16 @@ def _kernel(
         else:
             crate = None
 
-        def step(i, st):
+        def one_step(t, is_pulse_step, eps, st):
             a, hit_step, choice = st
-            t = t0 + i
             active = (hit_step == 0) & (t < n_steps)
 
-            eps = _normals((R, 128)) * sig_sqrt_dt
             # Leak + diffusion, unmasked as in the reference (post-hit values
             # are never read back). reference rt_choice_model.py:186-187.
-            a = a + (-lam * a) * dtf + eps
+            a = a + (-lam * a) * dtf + eps * sig_sqrt_dt
             # Pulse kick on the first step of the (pulse-aligned) chunk.
-            a = jnp.where((i == 0) & active, a + kick, a)
+            if is_pulse_step:
+                a = jnp.where(active, a + kick, a)
 
             if crate is not None:
                 f = 0.5 + 0.5 * jnp.exp(-crate * (t.astype(jnp.float32) * dtf))
@@ -130,8 +132,21 @@ def _kernel(
             choice = jnp.where(hit_up, 1, jnp.where(hit_lo, 0, choice))
             return a, hit_step, choice
 
+        # The pulse-kick step (local i == 0), alone so the remaining loop body
+        # is pulse-free; then pairs of steps sharing one Box-Muller draw.
+        eps0, eps1 = _normal_pair((R, 128))
+        st = one_step(t0, True, eps0, (a, hit_step, choice))
+        st = one_step(t0 + 1, False, eps1, st)
+
+        def step_pair(j, st):
+            t = t0 + 2 * j
+            e0, e1 = _normal_pair((R, 128))
+            st = one_step(t, False, e0, st)
+            st = one_step(t + 1, False, e1, st)
+            return st
+
         a, hit_step, choice = jax.lax.fori_loop(
-            0, steps_per_pulse, step, (a, hit_step, choice)
+            1, steps_per_pulse // 2, step_pair, st
         )
         return c + 1, a, hit_step, choice
 
@@ -185,6 +200,11 @@ def ddm_rt_choice_pallas(
     if n_max % steps_per_pulse != 0:
         raise ValueError(
             f"n_max={n_max} must be divisible by steps_per_pulse={steps_per_pulse}"
+        )
+    if steps_per_pulse % 2 != 0:
+        raise ValueError(
+            f"steps_per_pulse={steps_per_pulse} must be even (the kernel "
+            "consumes Box-Muller normal pairs, two steps per draw)"
         )
     n_chunks = n_max // steps_per_pulse
 
