@@ -122,7 +122,11 @@ def bench_nuts():
     from sbi_for_diffusion_models_tpu.data_simulator import simulate_observed_session
     from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS
 
-    cfg = RUN_CONFIG_PARAMS.replace(NUM_CHAINS=8, WARMUP_STEPS=100, POSTERIOR_SAMPLES=1000)
+    # depth 8: deep-tree launches have crashed the single-chip tunnel worker.
+    cfg = RUN_CONFIG_PARAMS.replace(
+        NUM_CHAINS=8, WARMUP_STEPS=100, POSTERIOR_SAMPLES=1000,
+        MCMC_MAX_TREE_DEPTH=8,
+    )
     prior = build_prior_theta()
     est = build_mnle(jax.random.key(0), MNLEConfig(condition_dim=85))
     theta_true = prior.sample(jax.random.key(1), (1,))[0]

@@ -70,6 +70,9 @@ def main():
         SBC_NUM_DATASETS=args.datasets,
         SBC_POST_SAMPLES=args.post_samples,
         TRAIN_BATCH_SIZE=4096,
+        # Keep individual device launches modest: the single-chip tunnel has
+        # crashed under very large/deep NUTS launches (see CLAUDE.md).
+        MCMC_MAX_TREE_DEPTH=8,
     )
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
@@ -95,7 +98,9 @@ def main():
         save_model(est, cfg, filename="mnle_calibration.npz")
 
     t0 = time.time()
-    sbc = run_sbc(cfg, prior, est, outdir=outdir, seed=args.seed + 2)
+    sbc = run_sbc(
+        cfg, prior, est, outdir=outdir, seed=args.seed + 2, group_size=4
+    )
     sbc_wall = time.time() - t0
 
     stats = sbc_uniformity_stats(sbc["ranks"], args.post_samples)

@@ -660,17 +660,29 @@ def run_nuts(
         dt = None if data_host is None else jax.tree.map(jnp.asarray, data_host)
         return ks, st, dt
 
-    def _wait_for_device(max_wait_s=900, poll_s=30):
+    def _wait_for_device(max_wait_s=600, poll_s=30, probe_timeout_s=60):
+        """Probe device health in a daemon thread: on this platform a call
+        into a dead relay can HANG rather than raise, so an un-timeboxed
+        probe would wedge the whole process."""
+        import threading as _threading
         import time as _time
+
+        def probe(result):
+            try:
+                result.append(
+                    float(np.asarray(jnp.ones((8,), jnp.float32).sum())) == 8.0
+                )
+            except Exception:
+                result.append(False)
 
         t0 = _time.time()
         while _time.time() - t0 < max_wait_s:
-            try:
-                ok = float(np.asarray(jnp.ones((8,), jnp.float32).sum()))
-                if ok == 8.0:
-                    return True
-            except Exception:
-                pass
+            result: list = []
+            th = _threading.Thread(target=probe, args=(result,), daemon=True)
+            th.start()
+            th.join(probe_timeout_s)
+            if result and result[0]:
+                return True
             _time.sleep(poll_s)
         return False
 

@@ -122,7 +122,14 @@ def train_mnle(
     n_batches = max(n_tr // batch_size, 1)
 
     loss_fn = _make_loss_fn(estimator)
-    tx = optax.adam(cfg.TRAIN_LEARNING_RATE)
+    # Gradient clipping + cosine decay: the raw-Adam loss curve is noisy late
+    # in training (spline-flow gradients can spike on tail samples).
+    schedule = optax.cosine_decay_schedule(
+        cfg.TRAIN_LEARNING_RATE,
+        decay_steps=max(n_batches * cfg.TRAIN_MAX_EPOCHS, 1),
+        alpha=0.02,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(schedule))
     opt_state = tx.init(estimator.params)
 
     @jax.jit

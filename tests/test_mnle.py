@@ -46,8 +46,8 @@ def test_training_learns_synthetic_likelihood():
     x = jnp.stack([rt, choice], -1)
     cfg = RUN_CONFIG_PARAMS.replace(
         TRAIN_BATCH_SIZE=500,
-        TRAIN_MAX_EPOCHS=40,
-        TRAIN_STOP_AFTER_EPOCHS=8,
+        TRAIN_MAX_EPOCHS=60,
+        TRAIN_STOP_AFTER_EPOCHS=12,
         MNLE_HIDDEN_FEATURES=32,
         MNLE_NUM_TRANSFORMS=3,
         MNLE_NUM_BINS=8,
