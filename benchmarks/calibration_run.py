@@ -38,7 +38,13 @@ def main():
     p.add_argument(
         "--reuse-model",
         action="store_true",
-        help="load mnle_calibration.npz from MODEL_DIR instead of retraining",
+        help="load a saved model from MODEL_DIR instead of retraining",
+    )
+    p.add_argument(
+        "--model",
+        type=str,
+        default="mnle_calibration.npz",
+        help="model filename (with --reuse-model) / save name (without)",
     )
     args = p.parse_args()
 
@@ -81,7 +87,7 @@ def main():
     if args.reuse_model:
         from sbi_for_diffusion_models_tpu.mnle import load_model
 
-        est = load_model("mnle_calibration.npz")
+        est = load_model(args.model)
         sim_wall = train_wall = 0.0
         print("[calibration] reusing saved mnle_calibration.npz")
     else:
@@ -95,7 +101,7 @@ def main():
         est = train_mnle(cfg, proposal, z, x, seed=args.seed + 1)
         train_wall = time.time() - t0
         print(f"[calibration] trained in {train_wall:.1f}s")
-        save_model(est, cfg, filename="mnle_calibration.npz")
+        save_model(est, cfg, filename=args.model)
 
     t0 = time.time()
     sbc = run_sbc(

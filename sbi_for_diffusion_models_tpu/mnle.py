@@ -132,8 +132,11 @@ def train_mnle(
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(schedule))
     opt_state = tx.init(estimator.params)
 
+    # Training data is an explicit jit argument, NOT a closure: closed-over
+    # arrays are baked into the program as constants, which at 1M-trial
+    # budgets makes the compile payload hundreds of MB.
     @jax.jit
-    def epoch_step(params, opt_state, perm_idx):
+    def epoch_step(params, opt_state, perm_idx, x_tr, z_tr):
         def body(carry, idx):
             params, opt_state = carry
             xb = jnp.take(x_tr, idx, axis=0)
@@ -148,7 +151,7 @@ def train_mnle(
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def val_loss_fn(params):
+    def val_loss_fn(params, x_val, z_val):
         if n_val == 0:
             return jnp.float32(0.0)
         return loss_fn(params, x_val, z_val)
@@ -179,8 +182,8 @@ def train_mnle(
 
     for epoch in range(start_epoch, cfg.TRAIN_MAX_EPOCHS):
         perm_idx = jax.random.permutation(jax.random.fold_in(key, 100 + epoch), n_tr)
-        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx)
-        vl = float(val_loss_fn(params)) if n_val > 0 else float(tr_loss)
+        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx, x_tr, z_tr)
+        vl = float(val_loss_fn(params, x_val, z_val)) if n_val > 0 else float(tr_loss)
         if vl < best_val - 1e-5:
             best_val = vl
             best_params = params

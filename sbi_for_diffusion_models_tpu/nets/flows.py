@@ -204,7 +204,7 @@ def fit_flow(
     opt_state = tx.init(estimator.params)
 
     @jax.jit
-    def epoch_step(params, opt_state, perm_idx):
+    def epoch_step(params, opt_state, perm_idx, y_tr, c_tr):
         def body(carry, idx):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -218,14 +218,14 @@ def fit_flow(
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def val_loss(params):
+    def val_loss(params, y_val, c_val):
         return loss_fn(params, y_val, c_val) if n_val > 0 else jnp.float32(0.0)
 
     params, best_params, best_val, since = estimator.params, estimator.params, np.inf, 0
     for epoch in range(max_epochs):
         perm_idx = jax.random.permutation(jax.random.fold_in(key, 1 + epoch), n_tr)
-        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx)
-        vl = float(val_loss(params)) if n_val > 0 else float(tr_loss)
+        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx, y_tr, c_tr)
+        vl = float(val_loss(params, y_val, c_val)) if n_val > 0 else float(tr_loss)
         if vl < best_val - 1e-5:
             best_val, best_params, since = vl, params, 0
         else:

@@ -1,0 +1,29 @@
+"""Metrics/profiling utilities: JSONL logging, timed host-sync."""
+
+import json
+
+import jax.numpy as jnp
+
+from sbi_for_diffusion_models_tpu.utils.metrics import MetricsLogger, host_sync, timed
+
+
+def test_metrics_logger_writes_jsonl(tmp_path):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(path)
+    log.log("sim", "steps_per_s", 1e9, batch=4)
+    log.log("train", "loss", 0.5)
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["stage"] == "sim" and lines[0]["batch"] == 4
+    assert lines[1]["name"] == "loss" and "ts" in lines[1]
+
+
+def test_metrics_logger_stdout_fallback(capsys):
+    MetricsLogger(None).log("a", "b", 1)
+    assert "a/b = 1" in capsys.readouterr().out
+
+
+def test_timed_and_host_sync():
+    out, dt = timed(lambda: jnp.arange(10).sum())
+    assert dt >= 0.0
+    assert host_sync(out) == 45.0
