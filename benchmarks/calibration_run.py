@@ -35,6 +35,7 @@ def main():
     p.add_argument("--trials-obs", type=int, default=50)
     p.add_argument("--outdir", type=str, default="artifacts/calibration")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--group-size", type=int, default=4)
     p.add_argument(
         "--reuse-model",
         action="store_true",
@@ -105,7 +106,8 @@ def main():
 
     t0 = time.time()
     sbc = run_sbc(
-        cfg, prior, est, outdir=outdir, seed=args.seed + 2, group_size=4
+        cfg, prior, est, outdir=outdir, seed=args.seed + 2,
+        group_size=args.group_size,
     )
     sbc_wall = time.time() - t0
 

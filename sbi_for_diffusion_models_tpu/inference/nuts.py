@@ -632,8 +632,18 @@ def run_nuts(
         ckpt_file = ckpt_dir / "nuts_segments.npz"
         if ckpt_file.exists():
             blob = np.load(ckpt_file, allow_pickle=False)
-            start_segment = int(blob["next_segment"])
-            if start_segment > 0:
+            if blob["samples"].shape[0] != num_chains or blob["samples"].shape[2] != D:
+                # Stale checkpoint from a different run shape (e.g. a
+                # concurrent or earlier run with another chain count):
+                # ignore it and start fresh.
+                print(
+                    f"[run_nuts] ignoring stale checkpoint {ckpt_file} "
+                    f"(chains {blob['samples'].shape[0]} != {num_chains})"
+                )
+                blob = None
+            if blob is not None:
+                start_segment = int(blob["next_segment"])
+            if blob is not None and start_segment > 0:
                 samples_host = [blob["samples"]]
                 infos_host = [
                     {

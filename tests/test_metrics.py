@@ -27,3 +27,25 @@ def test_timed_and_host_sync():
     out, dt = timed(lambda: jnp.arange(10).sum())
     assert dt >= 0.0
     assert host_sync(out) == 45.0
+
+
+def test_nan_guard_raises_on_nan():
+    import jax
+    import pytest
+
+    from sbi_for_diffusion_models_tpu.utils.debug import assert_finite, nan_guard
+
+    # jax_debug_nans only instruments newly-compiled executables; an earlier
+    # test may have cached this computation without the check.
+    jax.clear_caches()
+    with pytest.raises(FloatingPointError):
+        with nan_guard():
+            jnp.log(jnp.array([-1.0])).block_until_ready()
+
+    # Clean computation passes.
+    with nan_guard():
+        assert float(jnp.log(jnp.array([2.0]))[0]) > 0
+
+    assert_finite("ok", jnp.ones(3))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        assert_finite("bad", jnp.array([1.0, float("nan")]))
