@@ -63,14 +63,19 @@ def main():
     ids, xs = split_by_subject(df, log_rt=cfg.LOG_RT_MANUALLY)
     print(f"subjects: {ids}, trials each: {[int(x.shape[0]) for x in xs]}")
 
-    # A trained MNLE is required; use the pipeline's saved model if present,
+    # A trained MNLE is required; try the saved models in preference order,
     # else a fresh (untrained) one so the script still demonstrates the flow.
-    try:
-        est = load_model()
-        print("loaded trained MNLE")
-    except FileNotFoundError:
+    est = None
+    for name in ("mnle_large_budget.npz", "mnle_calibration.npz", None):
+        try:
+            est = load_model(name) if name else load_model()
+            print(f"loaded trained MNLE ({name or 'default'})")
+            break
+        except FileNotFoundError:
+            continue
+    if est is None:
         est = build_mnle(jax.random.key(0), MNLEConfig(condition_dim=85))
-        print("WARNING: no saved model; using an untrained MNLE for demo only")
+        print("NOTE: no saved model found; using an untrained MNLE (demo only)")
 
     # Per-rat independent fits (the notebook's loop).
     for i, (sid, x_s) in enumerate(zip(ids, xs)):

@@ -77,7 +77,7 @@ def _slice_one_dim(key, x, d, logp_fn, width, max_steps_out, max_shrink):
 
 def run_slice(
     key: jax.Array,
-    logp_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    logp_fn: Callable[..., jnp.ndarray],
     init_u: jnp.ndarray,
     *,
     num_warmup: int,
@@ -86,28 +86,37 @@ def run_slice(
     max_steps_out: int = 20,
     max_shrink: int = 100,
     thin: int = 1,
+    data=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the vectorized slice sampler.
 
-    init_u: (num_chains, D) in *unconstrained* space.
+    init_u: (num_chains, D) in *unconstrained* space. ``data``: optional
+    pytree with leading axis num_chains giving each chain its own
+    conditioning data (``logp_fn(u, data_i)``) — same contract as
+    ``run_nuts``, so batched SBC works with either sampler.
     Returns (samples (num_chains, num_samples, D), info dict).
     """
     num_chains, D = init_u.shape
 
-    def sweep(key, x):
-        """One full coordinate sweep."""
+    def chain(chain_key, x0, data_i):
+        if data is None:
+            lp_fn = logp_fn
+        else:
+            lp_fn = lambda u: logp_fn(u, data_i)
 
-        def body(d, carry):
-            x, key = carry
-            k = jax.random.fold_in(key, d)
-            return _slice_one_dim(
-                k, x, d, logp_fn, jnp.float32(width), max_steps_out, max_shrink
-            ), key
+        def sweep(key, x):
+            """One full coordinate sweep."""
 
-        x, _ = lax.fori_loop(0, D, body, (x, key))
-        return x
+            def body(d, carry):
+                x, key = carry
+                k = jax.random.fold_in(key, d)
+                return _slice_one_dim(
+                    k, x, d, lp_fn, jnp.float32(width), max_steps_out, max_shrink
+                ), key
 
-    def chain(chain_key, x0):
+            x, _ = lax.fori_loop(0, D, body, (x, key))
+            return x
+
         def step(x, k):
             def inner(x, kk):
                 return sweep(kk, x), None
@@ -125,5 +134,7 @@ def run_slice(
         return samples
 
     keys = jax.random.split(key, num_chains)
-    samples = jax.vmap(chain)(keys, init_u)
+    samples = jax.vmap(chain, in_axes=(0, 0, None if data is None else 0))(
+        keys, init_u, data
+    )
     return samples, {}

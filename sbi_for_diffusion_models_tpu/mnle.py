@@ -472,20 +472,37 @@ def _run_sbc_batched(
         init_theta = prior_theta.sample(jax.random.fold_in(key, 300 + g), (G * C,))
         init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
         data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_g, s_g))
-        samples_u, info = run_nuts(
-            jax.random.fold_in(key, 400 + g),
-            logp,
-            init_u,
-            num_warmup=cfg.WARMUP_STEPS,
-            num_samples=per_chain,
-            max_depth=cfg.MCMC_MAX_TREE_DEPTH,
-            target_accept=cfg.MCMC_TARGET_ACCEPT,
-            thin=cfg.MCMC_THIN,
-            data=data,
-            checkpoint_dir=(
-                str(outdir / "nuts_ckpt" / f"group_{g}")
-            ),
-        )
+        if cfg.MCMC_METHOD in ("slice", "slice_np_vectorized"):
+            from .inference.slice import run_slice
+
+            samples_u, info = run_slice(
+                jax.random.fold_in(key, 400 + g),
+                logp,
+                init_u,
+                num_warmup=cfg.WARMUP_STEPS,
+                num_samples=per_chain,
+                thin=cfg.MCMC_THIN,
+                data=data,
+            )
+            info = {
+                "accept_prob": jnp.ones(()),
+                "diverging": jnp.zeros((), jnp.int32),
+            }
+        else:
+            samples_u, info = run_nuts(
+                jax.random.fold_in(key, 400 + g),
+                logp,
+                init_u,
+                num_warmup=cfg.WARMUP_STEPS,
+                num_samples=per_chain,
+                max_depth=cfg.MCMC_MAX_TREE_DEPTH,
+                target_accept=cfg.MCMC_TARGET_ACCEPT,
+                thin=cfg.MCMC_THIN,
+                data=data,
+                checkpoint_dir=(
+                    str(outdir / "nuts_ckpt" / f"group_{g}")
+                ),
+            )
         theta_s = bij.forward(samples_u)  # (G*C, S, dim)
         dim = theta_s.shape[-1]
         # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
@@ -555,7 +572,9 @@ def run_sbc(
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
-    if batched and cfg.MCMC_METHOD in ("nuts", "nuts_pyro", "hmc"):
+    if batched and cfg.MCMC_METHOD in (
+        "nuts", "nuts_pyro", "hmc", "slice", "slice_np_vectorized"
+    ):
         return _run_sbc_batched(
             cfg,
             prior_theta,

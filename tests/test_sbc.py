@@ -69,3 +69,15 @@ def test_run_sbc_serial_matches_interface(tiny_setup, tmp_path):
     cfg = cfg.replace(SBC_NUM_DATASETS=1, SBC_POST_SAMPLES=10, WARMUP_STEPS=15)
     out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False, batched=False)
     assert out["ranks"].shape == (1, 5)
+
+
+def test_run_sbc_batched_with_slice(tiny_setup, tmp_path):
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(
+        MCMC_METHOD="slice", SBC_NUM_DATASETS=1, SBC_POST_SAMPLES=10,
+        WARMUP_STEPS=10,
+    )
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
+    assert out["ranks"].shape == (1, 5)
+    s = out["all_samples"][0]
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
