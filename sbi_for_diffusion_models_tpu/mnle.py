@@ -376,6 +376,7 @@ def _run_sbc_batched(
     key: jax.Array,
     verbose: bool,
     group_size: int = 8,
+    mesh=None,
 ) -> dict:
     """All SBC datasets x chains in one compiled NUTS program.
 
@@ -472,6 +473,28 @@ def _run_sbc_batched(
         init_theta = prior_theta.sample(jax.random.fold_in(key, 300 + g), (G * C,))
         init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
         data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_g, s_g))
+        n_real_chains = G * C
+        if mesh is not None:
+            # Shard the folded (dataset x chain) axis over the mesh: chains
+            # are independent, so this scales SBC across chips with zero
+            # collectives (the reference runs datasets serially on one CPU).
+            # Pad the chain axis to the mesh size by wrap-around; padded
+            # chains are dropped after sampling.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from .parallel.mesh import pad_to_multiple
+
+            n_dev = mesh.devices.size
+            init_u, _ = pad_to_multiple(init_u, n_dev)
+            data = jax.tree.map(lambda a: pad_to_multiple(a, n_dev)[0], data)
+            axis = mesh.axis_names[0]
+            init_u = jax.device_put(init_u, NamedSharding(mesh, _P(axis)))
+            data = jax.tree.map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(mesh, _P(axis, *([None] * (a.ndim - 1))))
+                ),
+                data,
+            )
         if cfg.MCMC_METHOD in ("slice", "slice_np_vectorized"):
             from .inference.slice import run_slice
 
@@ -503,6 +526,7 @@ def _run_sbc_batched(
                     str(outdir / "nuts_ckpt" / f"group_{g}")
                 ),
             )
+        samples_u = samples_u[:n_real_chains]  # drop mesh-padding chains
         theta_s = bij.forward(samples_u)  # (G*C, S, dim)
         dim = theta_s.shape[-1]
         # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
@@ -552,6 +576,7 @@ def run_sbc(
     verbose: bool = True,
     batched: bool = True,
     group_size: int = 8,
+    mesh=None,
 ) -> dict:
     """Simulation-based calibration (reference mnle.py:132-237).
 
@@ -585,6 +610,7 @@ def run_sbc(
             key,
             verbose,
             group_size=group_size,
+            mesh=mesh,
         )
 
     thetas_true, ranks, all_samples = [], [], []

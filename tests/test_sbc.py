@@ -81,3 +81,18 @@ def test_run_sbc_batched_with_slice(tiny_setup, tmp_path):
     assert out["ranks"].shape == (1, 5)
     s = out["all_samples"][0]
     assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
+
+
+def test_run_sbc_batched_on_mesh(tiny_setup, tmp_path):
+    """Chain axis sharded over the 8-device CPU mesh."""
+    from sbi_for_diffusion_models_tpu.parallel.mesh import default_mesh
+
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=16, WARMUP_STEPS=15)
+    mesh = default_mesh(axis_name="chains")
+    out = run_sbc(
+        cfg, prior, est, outdir=tmp_path, seed=0, verbose=False,
+        group_size=2, mesh=mesh,  # 2 datasets x 2 chains x ... folds to 4? pad
+    )
+    assert out["ranks"].shape == (2, 5)
+    assert np.isfinite(out["all_samples"][0]).all()
