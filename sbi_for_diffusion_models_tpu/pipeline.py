@@ -168,6 +168,10 @@ SMOKE_CONFIG = RUN_CONFIG_PARAMS.replace(
 def _cli(argv=None):
     import argparse
 
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(description="Run the full SBI pipeline.")
     p.add_argument(
         "--smoke",

@@ -1,0 +1,27 @@
+"""Persistent compilation cache setup.
+
+First compiles of the big programs (16k-step simulator, NUTS over the MNLE
+potential) cost minutes on this platform and recur in every fresh process.
+Enabling JAX's persistent compilation cache amortizes them across processes
+and rounds. Call ``enable_persistent_cache()`` before the first jit; the
+pipeline CLI and benchmark scripts do this automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+
+__all__ = ["enable_persistent_cache"]
+
+_DEFAULT_DIR = "/root/repo/.jax_cache"
+
+
+def enable_persistent_cache(directory: str | None = None) -> str:
+    d = directory or os.environ.get("JAX_CACHE_DIR", _DEFAULT_DIR)
+    Path(d).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return d
