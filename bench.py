@@ -24,6 +24,9 @@ def main():
         n_pulses_max_from_schedule,
         pulse_schedule,
     )
+    from sbi_for_diffusion_models_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     n_max, spp = pulse_schedule()
     P = n_pulses_max_from_schedule(n_max, spp)
