@@ -49,7 +49,7 @@ def emit(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": value, "unit": unit, **extra}))
 
 
-def bench_sim():
+def bench_sim(batches=(16384, 131072, 524288)):
     from sbi_for_diffusion_models_tpu.models.rt_choice_model import (
         generate_pulse_matrix,
         n_pulses_max_from_schedule,
@@ -67,7 +67,7 @@ def bench_sim():
         kernels["pallas"] = lambda th, s, k: ddm_rt_choice_pallas(
             th, s, k, steps_per_pulse=spp, n_max=n_max
         )
-    for N in (16384, 131072, 524288):
+    for N in batches:
         theta = jnp.stack(
             [
                 jax.random.beta(jax.random.fold_in(key, 0), 2.0, 2.0, (N,)),
@@ -118,6 +118,38 @@ def bench_train_and_logprob():
     dt = timeit(lp, x, z)
     emit("mnle_logprob", B / dt, "rows/s", batch=B, wall_s=dt)
 
+    # The MCMC inner op: per-trial log-prob summed over a 50-trial session,
+    # value+grad w.r.t. theta — XLA path vs the Pallas-fused kernel
+    # (ops/mnle_pallas.py), forward-only and with the NUTS gradient.
+    T = 50
+    x50, z50 = x[:T], z[:T]
+    theta0 = jnp.abs(jax.random.normal(jax.random.fold_in(key, 7), (5,))) + 0.3
+    kernels = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    for kern in kernels:
+        lp_fn = est.dispatch_log_prob(kern)
+
+        def potential(theta):
+            cond = jnp.concatenate(
+                [jnp.broadcast_to(theta, (T, 5)), z50[:, 5:]], -1
+            )
+            return jnp.sum(lp_fn(x50, cond))
+
+        fwd = jax.jit(potential)
+        dt = timeit(fwd, theta0)
+        emit(f"potential_fwd_{kern}", 1.0 / dt, "calls/s", trials=T, wall_s=dt)
+        vg = jax.jit(jax.value_and_grad(potential))
+        dt = timeit(lambda th: vg(th)[0], theta0)
+        emit(f"potential_grad_{kern}", 1.0 / dt, "calls/s", trials=T, wall_s=dt)
+        # Batched over chains (the shape NUTS actually runs).
+        for C in (16, 128):
+            vgs = jax.jit(jax.vmap(jax.value_and_grad(potential)))
+            ths = jnp.abs(jax.random.normal(jax.random.fold_in(key, 8), (C, 5))) + 0.3
+            dt = timeit(lambda t_: vgs(t_)[0], ths)
+            emit(
+                f"potential_grad_{kern}_c{C}", C / dt, "chain-grads/s",
+                trials=T, chains=C, wall_s=dt,
+            )
+
 
 def bench_nuts():
     from sbi_for_diffusion_models_tpu.mnle import run_inference_mcmc
@@ -151,7 +183,33 @@ def bench_nuts():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--profile", type=str, default=None,
+        help="capture a jax.profiler trace of one pass into this directory",
+    )
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="full trial-steps/s-vs-batch sweep for the roofline analysis",
+    )
+    ap.add_argument("--skip-nuts", action="store_true")
+    a = ap.parse_args()
+
     emit("backend", 0, jax.default_backend())
-    bench_sim()
-    bench_train_and_logprob()
-    bench_nuts()
+    batches = (
+        (4096, 16384, 65536, 131072, 262144, 524288, 1048576)
+        if a.sweep
+        else (16384, 131072, 524288)
+    )
+    if a.profile:
+        with jax.profiler.trace(a.profile):
+            bench_sim(batches)
+            bench_train_and_logprob()
+        print(json.dumps({"metric": "profile_dir", "value": 0, "unit": a.profile}))
+    else:
+        bench_sim(batches)
+        bench_train_and_logprob()
+    if not a.skip_nuts:
+        bench_nuts()

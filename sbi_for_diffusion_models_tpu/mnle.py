@@ -73,6 +73,26 @@ def train_mnle(
     ``proposal_z`` is accepted for signature parity (the reference hands it to
     the sbi trainer as the prior); training itself only needs (z, x).
     """
+    # Z_SCORE_X is a string in the reference ("independent" / "structured" /
+    # None, passed through to sbi at reference mnle.py:35). Our continuous
+    # block is the single RT column, for which "structured" (shared scalar
+    # stats across the block) and "independent" (per-dimension stats)
+    # coincide; both are accepted, anything else is loudly rejected instead
+    # of silently doing "independent".
+    if cfg.Z_SCORE_X not in (None, "none", "independent", "structured"):
+        raise ValueError(
+            f"Z_SCORE_X={cfg.Z_SCORE_X!r} not supported: expected None, "
+            "'none', 'independent', or 'structured'"
+        )
+    if cfg.LOG_RT_MANUALLY and cfg.SBI_LOG_TRANSFORM_X:
+        # x[:, 0] would already hold log-rt (possibly negative); the estimator
+        # would clamp it to 1e-37 and log it AGAIN, silently destroying the
+        # data. The reference docs treat these flags as mutually exclusive
+        # (reference run_config.py:18,24-25) but never enforce it.
+        raise ValueError(
+            "LOG_RT_MANUALLY and SBI_LOG_TRANSFORM_X are mutually exclusive: "
+            "both would log-transform the RT column twice."
+        )
     z = jnp.asarray(z_train, jnp.float32)
     x = jnp.asarray(x_train, jnp.float32)
     n = x.shape[0]
@@ -80,6 +100,14 @@ def train_mnle(
 
     num_categories = int(np.asarray(x[:, 1]).max()) + 1
     num_categories = max(num_categories, 3)
+    # Pulse summary embedding (TPU extension): the theta/pulse split of the
+    # condition comes from the proposal's own event layout.
+    theta_dim = getattr(proposal_z, "theta_dim", None)
+    pulse_dim = (
+        int(z.shape[1]) - int(theta_dim)
+        if cfg.MNLE_EMBED_DIM > 0 and theta_dim is not None
+        else 0
+    )
     mcfg = MNLEConfig(
         condition_dim=int(z.shape[1]),
         num_categories=num_categories,
@@ -89,7 +117,12 @@ def train_mnle(
         tail_bound=cfg.MNLE_TAIL_BOUND,
         log_transform_x=cfg.SBI_LOG_TRANSFORM_X,
         z_score_theta=True,
-        z_score_x=cfg.Z_SCORE_X is not None,
+        z_score_x=cfg.Z_SCORE_X not in (None, "none"),
+        trunk_depth=cfg.MNLE_TRUNK_DEPTH,
+        pulse_dim=pulse_dim,
+        embed_dim=cfg.MNLE_EMBED_DIM if pulse_dim > 0 else 0,
+        embed_depth=cfg.MNLE_EMBED_DEPTH,
+        censor_rt=cfg.MNLE_CENSOR_RT,
     )
 
     # Standardization stats ("independent" z-scoring, reference mnle.py:34-35).
@@ -97,8 +130,17 @@ def train_mnle(
     cond_std = jnp.maximum(jnp.std(z, axis=0), 1e-6)
     rt = x[:, 0]
     t = jnp.log(jnp.maximum(rt, 1e-37)) if mcfg.log_transform_x else rt
-    x_mean = jnp.mean(t)
-    x_std = jnp.maximum(jnp.std(t), 1e-6)
+    if mcfg.censor_rt:
+        # The flow only ever sees non-censored rows; standardize on those.
+        m = (x[:, 1] != mcfg.censored_category).astype(t.dtype)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        x_mean = jnp.sum(t * m) / denom
+        x_std = jnp.maximum(
+            jnp.sqrt(jnp.sum(m * (t - x_mean) ** 2) / denom), 1e-6
+        )
+    else:
+        x_mean = jnp.mean(t)
+        x_std = jnp.maximum(jnp.std(t), 1e-6)
 
     estimator = build_mnle(
         jax.random.fold_in(key, 0),
@@ -156,11 +198,15 @@ def train_mnle(
             return jnp.float32(0.0)
         return loss_fn(params, x_val, z_val)
 
+    import time as _time
+
+    train_t0 = _time.time()
     params = estimator.params
     best_params = params
     best_val = np.inf
     epochs_since_best = 0
     start_epoch = 0
+    last_epoch = start_epoch
 
     if checkpoint_dir is not None:
         from .utils.checkpoint import restore_train_state, save_train_state
@@ -181,6 +227,7 @@ def train_mnle(
                 print(f"[train_mnle] resumed from epoch {start_epoch - 1}")
 
     for epoch in range(start_epoch, cfg.TRAIN_MAX_EPOCHS):
+        last_epoch = epoch
         perm_idx = jax.random.permutation(jax.random.fold_in(key, 100 + epoch), n_tr)
         params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx, x_tr, z_tr)
         vl = float(val_loss_fn(params, x_val, z_val)) if n_val > 0 else float(tr_loss)
@@ -209,6 +256,12 @@ def train_mnle(
         cond_std=estimator.cond_std,
         x_mean=estimator.x_mean,
         x_std=estimator.x_std,
+        train_meta={
+            "num_train": int(n),
+            "epochs_run": int(last_epoch - start_epoch + 1),
+            "best_val_loss": float(best_val) if np.isfinite(best_val) else None,
+            "train_wall_s": round(_time.time() - train_t0, 1),
+        },
     )
 
 
@@ -241,9 +294,16 @@ def save_model(
     leaves["stat:cond_std"] = np.asarray(estimator.cond_std)
     leaves["stat:x_mean"] = np.asarray(estimator.x_mean)
     leaves["stat:x_std"] = np.asarray(estimator.x_std)
+    import hashlib
+
+    fp = hashlib.sha256()
+    for name in sorted(k for k in leaves if k.startswith("param:")):
+        fp.update(leaves[name].tobytes())
     meta = {
         "mnle_config": estimator.cfg.__dict__,
         "run_config": cfg.__dict__ if cfg is not None else None,
+        "train_meta": estimator.train_meta,
+        "param_fingerprint": fp.hexdigest()[:16],
     }
     np.savez(path, __meta__=json.dumps(meta), **leaves)
     print(f"[save_model] wrote {path}")
@@ -270,6 +330,7 @@ def load_model(filename: str = _DEFAULT_MODEL_FILENAME) -> MNLE:
         cond_std=jnp.asarray(data["stat:cond_std"]),
         x_mean=jnp.asarray(data["stat:x_mean"]),
         x_std=jnp.asarray(data["stat:x_std"]),
+        train_meta=meta.get("train_meta"),
     )
 
 
@@ -297,7 +358,9 @@ def run_inference_mcmc(
     sampler (cfg.MCMC_METHOD="slice"), the fallback the reference notebooks
     rely on (ryans_test.ipynb cell 4).
     """
-    likelihood = ConditionedMNLELogLikelihood(density_estimator, pulses_o)
+    likelihood = ConditionedMNLELogLikelihood(
+        density_estimator, pulses_o, logprob_kernel=cfg.MNLE_LOGPROB_KERNEL
+    )
     potential = ThetaOnlyPosteriorPotential(
         prior=prior_theta,
         likelihood=likelihood,
@@ -363,6 +426,11 @@ def _plot_sbc_rank_histograms(
     fig.savefig(path, dpi=120)
     plt.close(fig)
     print(f"[run_sbc] wrote {path}")
+    # High-power companion diagnostic: ECDF-difference with a simultaneous
+    # confidence band (histograms hide small systematic bias).
+    from .analysis import sbc_ecdf_plot
+
+    sbc_ecdf_plot(ranks, num_samples, Path(outdir) / "sbc_ecdf.png", param_names)
     return path
 
 
@@ -424,17 +492,17 @@ def _run_sbc_batched(
     s_d = pulses.reshape(D, T, P)
 
     temperature = cfg.TEMPERATURE
+    lp_fn = est.dispatch_log_prob(cfg.MNLE_LOGPROB_KERNEL)
 
     def logp(u, data):
         x_o, s_o = data
         theta = bij.forward(u)
         lp = prior_theta.log_prob(theta) + bij.forward_log_det(u)
-
-        def per_trial(x_i, s_i):
-            cond = jnp.concatenate([theta, s_i], axis=-1)
-            return est.log_prob_fn(est.params, x_i, cond)
-
-        return lp + jnp.sum(jax.vmap(per_trial)(x_o, s_o)) / temperature
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(theta, (s_o.shape[0], theta.shape[-1])), s_o],
+            axis=-1,
+        )
+        return lp + jnp.sum(lp_fn(x_o, cond)) / temperature
 
     per_chain = _math.ceil(post_samples / C)
     G = min(group_size, D)  # datasets per launch
@@ -507,10 +575,6 @@ def _run_sbc_batched(
                 thin=cfg.MCMC_THIN,
                 data=data,
             )
-            info = {
-                "accept_prob": jnp.ones(()),
-                "diverging": jnp.zeros((), jnp.int32),
-            }
         else:
             samples_u, info = run_nuts(
                 jax.random.fold_in(key, 400 + g),
@@ -536,12 +600,17 @@ def _run_sbc_batched(
             .reshape(G, C * per_chain, dim)[:, :post_samples]
         )
         pooled_groups.append(np.asarray(pooled))
+        # Report only statistics the sampler actually produced: slice has no
+        # divergence notion (its accept_prob is the shrinkage success rate).
         accepts.append(float(jnp.mean(info["accept_prob"])))
-        divergences.append(int(jnp.sum(info["diverging"])))
+        divergences.append(
+            int(jnp.sum(info["diverging"])) if "diverging" in info else None
+        )
         if verbose:
+            div_str = "n/a" if divergences[-1] is None else str(divergences[-1])
             print(
                 f"[run_sbc] group {g + 1}/{n_groups}: {G} datasets x {C} chains "
-                f"mean_accept={accepts[-1]:.3f} divergences={divergences[-1]}"
+                f"mean_accept={accepts[-1]:.3f} divergences={div_str}"
             )
 
     samples_np = np.concatenate(pooled_groups, axis=0)[:D]

@@ -49,6 +49,67 @@ class MNLEConfig:
     log_transform_x: bool = True
     z_score_theta: bool = True
     z_score_x: bool = True
+    # Depth of the conditioner MLPs (sbi's are 2 layers deep).
+    trunk_depth: int = 2
+    # Pulse summary embedding: when pulse_dim > 0 and embed_dim > 0, the
+    # trailing ``pulse_dim`` block of the condition is compressed through a
+    # learned MLP (together with leak-decayed evidence summaries computed
+    # from the trial's own lambda = theta[lam_index]) before reaching the
+    # heads. 0/0 reproduces the reference's flat 85-dim conditioning
+    # (reference mnle.py:31-39).
+    pulse_dim: int = 0
+    embed_dim: int = 0
+    embed_depth: int = 2
+    lam_index: int = 1
+    # Censored-RT likelihood: trials whose choice equals ``censored_category``
+    # have a (near-)deterministic RT — the simulator pins them to the window
+    # end ~ T_MAX (reference rt_choice_model.py:208-218) — so their RT is a
+    # point mass the continuous flow can only smooth into a z-dependent
+    # distortion of the potential. With ``censor_rt=True`` those trials
+    # contribute only the (correct) censoring probability P(choice | z), the
+    # textbook censored-data likelihood; the flow trains and evaluates on
+    # non-censored trials only. False reproduces the reference estimator's
+    # smoothing behavior.
+    censor_rt: bool = False
+    censored_category: int = 2
+
+
+# Horizon times (seconds) for the leak-decayed pulse-evidence summaries.
+_FEATURE_HORIZONS = (0.25, 0.5, 1.0, 2.0, 4.0, 8.0)
+
+
+def pulse_physics_features(c_raw, theta_dim: int, pulse_dim: int, lam_index: int):
+    """Leak-decayed pulse-evidence summaries, one per horizon time.
+
+    The accumulator's deterministic pulse contribution at time T is
+    v * sum_p s_p * exp(-lambda (T - t_p)) (reference rt_choice_model.py:
+    186-192); with lambda read off the trial's own theta these sums are exact
+    sufficient-statistics-style features of the 80-dim stimulus. Each is
+    normalized by the sqrt of its weight power so random +-1 sequences give
+    unit variance (z-scored by construction).
+    """
+    from ..constants import PULSE_INTERVAL
+
+    lam = jnp.abs(c_raw[..., lam_index])
+    s = c_raw[..., theta_dim : theta_dim + pulse_dim]
+    t_p = jnp.arange(pulse_dim, dtype=jnp.float32) * PULSE_INTERVAL
+    feats = []
+    for T in _FEATURE_HORIZONS:
+        w = jnp.where(t_p < T, jnp.exp(-lam[..., None] * (T - t_p)), 0.0)
+        F = jnp.sum(w * s, axis=-1)
+        denom = jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-6)
+        feats.append(F / denom)
+    return jnp.stack(feats, axis=-1)
+
+
+# All MNLE matmuls run at HIGHEST precision: on TPU the default is a single
+# bf16 MXU pass (~1e-2 relative noise) which compounds through the
+# 10-transform spline stack into O(0.1-1) log-prob jitter — enough to
+# perturb NUTS trajectories and high-power SBC. The layers are tiny
+# (hidden=128), so exact f32 passes are nearly free, and they make the XLA
+# path bit-comparable with the Pallas-fused kernel (ops/mnle_pallas.py),
+# which is pinned to HIGHEST for the same reason.
+_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class _MLP(nn.Module):
@@ -59,8 +120,8 @@ class _MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         for _ in range(self.depth):
-            x = nn.relu(nn.Dense(self.hidden)(x))
-        return nn.Dense(self.out)(x)
+            x = nn.relu(nn.Dense(self.hidden, precision=_PRECISION)(x))
+        return nn.Dense(self.out, precision=_PRECISION)(x)
 
 
 class MNLENet(nn.Module):
@@ -71,18 +132,41 @@ class MNLENet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.cat_net = _MLP(cfg.hidden_features, cfg.num_categories, depth=2)
+        self.cat_net = _MLP(
+            cfg.hidden_features, cfg.num_categories, depth=cfg.trunk_depth
+        )
         # Shared context trunk for the flow + one spline-parameter head per
         # transform (pyknos-NSF style conditioners, fused for TPU: one trunk
         # matmul feeds all 10 heads).
-        self.flow_trunk = _MLP(cfg.hidden_features, cfg.hidden_features, depth=2)
+        self.flow_trunk = _MLP(
+            cfg.hidden_features, cfg.hidden_features, depth=cfg.trunk_depth
+        )
         self.flow_heads = [
-            nn.Dense(num_spline_params(cfg.num_bins), name=f"spline_head_{i}")
+            nn.Dense(
+                num_spline_params(cfg.num_bins),
+                name=f"spline_head_{i}",
+                precision=_PRECISION,
+            )
             for i in range(cfg.num_transforms)
         ]
+        if cfg.embed_dim > 0 and cfg.pulse_dim > 0:
+            self.pulse_embed = _MLP(
+                cfg.hidden_features, cfg.embed_dim, depth=cfg.embed_depth
+            )
+
+    def make_context(self, c_std, c_raw):
+        """Head input: z-scored condition, optionally with the pulse block
+        replaced by [learned embedding, physics summaries]."""
+        cfg = self.cfg
+        if cfg.embed_dim <= 0 or cfg.pulse_dim <= 0:
+            return c_std
+        k = cfg.condition_dim - cfg.pulse_dim
+        feats = pulse_physics_features(c_raw, k, cfg.pulse_dim, cfg.lam_index)
+        emb = self.pulse_embed(jnp.concatenate([c_std[..., k:], feats], axis=-1))
+        return jnp.concatenate([c_std[..., :k], emb, feats], axis=-1)
 
     def choice_logits(self, c):
-        """(..., condition_dim) -> (..., num_categories) log-probabilities."""
+        """(..., context_dim) -> (..., num_categories) log-probabilities."""
         return jax.nn.log_softmax(self.cat_net(c), axis=-1)
 
     def _spline_params(self, c, choice_onehot):
@@ -113,9 +197,10 @@ class MNLENet(nn.Module):
             )
         return z
 
-    def __call__(self, u, c, choice_onehot):
+    def __call__(self, u, c_std, c_raw, choice_onehot):
         """Used only for init: touch all submodules."""
-        return self.choice_logits(c), self.flow_log_prob(u, c, choice_onehot)
+        ctx = self.make_context(c_std, c_raw)
+        return self.choice_logits(ctx), self.flow_log_prob(u, ctx, choice_onehot)
 
 
 @dataclass
@@ -134,6 +219,10 @@ class MNLE:
     cond_std: jnp.ndarray
     x_mean: jnp.ndarray  # scalar, stats of the (log-)rt column
     x_std: jnp.ndarray
+    # Training provenance (simulation budget, epochs, losses) — persisted by
+    # save_model so downstream artifacts (e.g. calibration summaries) record
+    # the true budget instead of a CLI default.
+    train_meta: dict | None = None
     _net: MNLENet = field(init=False, repr=False, compare=False)
 
     def __post_init__(self):
@@ -164,17 +253,45 @@ class MNLE:
             log_det = log_det - jnp.log(self.x_std)
 
         onehot = jax.nn.one_hot(choice, cfg.num_categories)
+        ctx = self._net.apply(
+            {"params": params}, c, condition, method=MNLENet.make_context
+        )
         logits = self._net.apply(
-            {"params": params}, c, method=MNLENet.choice_logits
+            {"params": params}, ctx, method=MNLENet.choice_logits
         )
         cat_lp = jnp.take_along_axis(logits, choice[..., None], axis=-1)[..., 0]
         flow_lp = self._net.apply(
-            {"params": params}, t, c, onehot, method=MNLENet.flow_log_prob
+            {"params": params}, t, ctx, onehot, method=MNLENet.flow_log_prob
         )
+        if cfg.censor_rt:
+            # Censored trials: P(choice | z) only (their RT is deterministic;
+            # see MNLEConfig.censor_rt). Also stops flow gradients from the
+            # point-mass rows during training, since the training loss is
+            # -mean(log_prob).
+            not_censored = (choice != cfg.censored_category).astype(flow_lp.dtype)
+            return cat_lp + not_censored * (flow_lp + log_det)
         return cat_lp + flow_lp + log_det
 
     def log_prob(self, x, condition):
         return self.log_prob_fn(self.params, jnp.asarray(x), jnp.asarray(condition))
+
+    def dispatch_log_prob(self, kernel: str = "auto", *, interpret: bool = False):
+        """Pick the log-prob implementation for potential/inference hot paths:
+        the Pallas-fused kernel on TPU, plain XLA elsewhere
+        (kernel: "auto" | "xla" | "pallas"; mirrors
+        ``models.rt_choice_model.dispatch_sim_kernel``).
+
+        The returned ``fn(x, condition)`` closes over the current params —
+        it differentiates w.r.t. inputs (the MCMC use case), not params.
+        """
+        choice = kernel or "auto"
+        if choice == "auto":
+            choice = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if choice == "pallas":
+            from ..ops.mnle_pallas import make_fused_logprob
+
+            return make_fused_logprob(self, interpret=interpret)
+        return lambda x, condition: self.log_prob_fn(self.params, x, condition)
 
     def sample_fn(self, params, key, condition):
         """One (rt, choice) draw per condition row; condition: (..., d)."""
@@ -183,17 +300,24 @@ class MNLE:
         if cfg.z_score_theta:
             c = (c - self.cond_mean) / self.cond_std
         k_cat, k_flow = jax.random.split(key)
-        logits = self._net.apply({"params": params}, c, method=MNLENet.choice_logits)
+        ctx = self._net.apply(
+            {"params": params}, c, condition, method=MNLENet.make_context
+        )
+        logits = self._net.apply({"params": params}, ctx, method=MNLENet.choice_logits)
         choice = jax.random.categorical(k_cat, logits, axis=-1)
         onehot = jax.nn.one_hot(choice, cfg.num_categories)
         u = self._net.apply(
-            {"params": params}, k_flow, c, onehot, method=MNLENet.flow_sample
+            {"params": params}, k_flow, ctx, onehot, method=MNLENet.flow_sample
         )
         t = u
         if cfg.z_score_x:
             t = t * self.x_std + self.x_mean
         if cfg.log_transform_x:
             t = jnp.exp(t)
+        if cfg.censor_rt:
+            from ..constants import T_MAX
+
+            t = jnp.where(choice == cfg.censored_category, jnp.float32(T_MAX), t)
         return jnp.stack([t, choice.astype(jnp.float32)], axis=-1)
 
     def sample(self, key, condition):
@@ -216,7 +340,7 @@ def build_mnle(
     oh0 = jnp.zeros((1, cfg.num_categories), jnp.float32)
     # jit the init: eager flax init dispatches hundreds of tiny ops, each
     # individually compiled (~40s on CPU); one traced program is ~1s.
-    params = jax.jit(net.init)(key, u0, c0, oh0)["params"]
+    params = jax.jit(net.init)(key, u0, c0, c0, oh0)["params"]
     if cond_mean is None:
         cond_mean = jnp.zeros((cfg.condition_dim,), jnp.float32)
     if cond_std is None:

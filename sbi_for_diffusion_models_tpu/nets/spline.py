@@ -31,12 +31,19 @@ def num_spline_params(num_bins: int) -> int:
     return 3 * num_bins - 1
 
 
-def _prepare_knots(params: jnp.ndarray, num_bins: int, tail_bound: float):
+def _prepare_knots(
+    params: jnp.ndarray, num_bins: int, tail_bound: float, safe_ops: bool = False
+):
     """Split + constrain raw params into knot positions and derivatives.
 
     params: (..., 3K-1) raw network output.
     Returns (x_knots, y_knots, derivs) with shapes (..., K+1), (..., K+1),
     (..., K+1); boundary derivatives pinned to 1 for linear tails.
+
+    ``safe_ops=True`` uses only ops that lower inside Pallas TPU kernels:
+    the cumulative sum becomes a (K x K) triangular matmul (Mosaic has no
+    ``cumsum``) and the endpoint pin becomes a concatenation instead of an
+    indexed update. Values match the default path to float rounding.
     """
     K = num_bins
     w_raw = params[..., :K]
@@ -53,14 +60,33 @@ def _prepare_knots(params: jnp.ndarray, num_bins: int, tail_bound: float):
     heights = min_h + (1.0 - min_h * K) * heights
 
     total = 2.0 * tail_bound
-    cum_w = jnp.cumsum(widths, axis=-1) * total
-    cum_h = jnp.cumsum(heights, axis=-1) * total
-    zeros = jnp.zeros_like(cum_w[..., :1])
-    x_knots = jnp.concatenate([zeros, cum_w], axis=-1) - tail_bound
-    y_knots = jnp.concatenate([zeros, cum_h], axis=-1) - tail_bound
-    # Pin the exact endpoints (cumsum rounding can drift the last knot).
-    x_knots = x_knots.at[..., -1].set(tail_bound)
-    y_knots = y_knots.at[..., -1].set(tail_bound)
+    if safe_ops:
+        # Cumsum as a triangular matmul (Mosaic has no cumsum). HIGHEST
+        # precision: the MXU's default bf16 passes would shift knot positions
+        # by ~1e-2, which compounds through the transform stack.
+        tri = jnp.triu(jnp.ones((K, K), widths.dtype))
+        cum_w = jnp.dot(
+            widths, tri, preferred_element_type=widths.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * total
+        cum_h = jnp.dot(
+            heights, tri, preferred_element_type=heights.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * total
+        zeros = jnp.zeros_like(cum_w[..., :1])
+        top = jnp.full_like(cum_w[..., :1], total)
+        # Endpoints pinned by construction (cumsum rounding can drift them).
+        x_knots = jnp.concatenate([zeros, cum_w[..., : K - 1], top], -1) - tail_bound
+        y_knots = jnp.concatenate([zeros, cum_h[..., : K - 1], top], -1) - tail_bound
+    else:
+        cum_w = jnp.cumsum(widths, axis=-1) * total
+        cum_h = jnp.cumsum(heights, axis=-1) * total
+        zeros = jnp.zeros_like(cum_w[..., :1])
+        x_knots = jnp.concatenate([zeros, cum_w], axis=-1) - tail_bound
+        y_knots = jnp.concatenate([zeros, cum_h], axis=-1) - tail_bound
+        # Pin the exact endpoints (cumsum rounding can drift the last knot).
+        x_knots = x_knots.at[..., -1].set(tail_bound)
+        y_knots = y_knots.at[..., -1].set(tail_bound)
 
     d_inner = min_d + jax.nn.softplus(d_raw)
     ones = jnp.ones_like(d_inner[..., :1])
@@ -80,20 +106,36 @@ def _searchsorted(knots: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _take_gather(arr, idx):
+    """Per-row knot lookup via gather (fast on CPU/GPU and in plain XLA)."""
+    return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+
+
+def _take_onehot(arr, idx):
+    """Per-row knot lookup as a masked sum over the (small) knot axis —
+    no gather, so it lowers inside Pallas TPU kernels (Mosaic has no
+    per-lane dynamic gather; a compare + select + reduce is pure VPU)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+    return jnp.sum(jnp.where(iota == idx[..., None], arr, 0.0), axis=-1)
+
+
 def rq_spline_forward(
     x: jnp.ndarray,
     params: jnp.ndarray,
     *,
     num_bins: int,
     tail_bound: float,
+    use_gather: bool = True,
 ):
     """Forward RQ spline y = f(x) with linear tails.
 
     x: (...,) scalar per element; params: (..., 3K-1).
     Returns (y, log_det) each shaped like x. Outside [-B, B] the transform is
-    the identity with zero log-det (linear tails).
+    the identity with zero log-det (linear tails). ``use_gather=False``
+    switches knot lookup to the Pallas-safe masked sum (same values).
     """
-    return _rq_spline(x, params, num_bins=num_bins, tail_bound=tail_bound, inverse=False)
+    return _rq_spline(x, params, num_bins=num_bins, tail_bound=tail_bound,
+                      inverse=False, use_gather=use_gather)
 
 
 def rq_spline_inverse(
@@ -102,13 +144,17 @@ def rq_spline_inverse(
     *,
     num_bins: int,
     tail_bound: float,
+    use_gather: bool = True,
 ):
     """Inverse RQ spline x = f^{-1}(y); log_det is of the *inverse* map."""
-    return _rq_spline(y, params, num_bins=num_bins, tail_bound=tail_bound, inverse=True)
+    return _rq_spline(y, params, num_bins=num_bins, tail_bound=tail_bound,
+                      inverse=True, use_gather=use_gather)
 
 
-def _rq_spline(inputs, params, *, num_bins, tail_bound, inverse):
-    x_knots, y_knots, derivs = _prepare_knots(params, num_bins, tail_bound)
+def _rq_spline(inputs, params, *, num_bins, tail_bound, inverse, use_gather=True):
+    x_knots, y_knots, derivs = _prepare_knots(
+        params, num_bins, tail_bound, safe_ops=not use_gather
+    )
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
     # Clamp inputs for the in-spline math; tail values pass through identity.
     z = jnp.clip(inputs, -tail_bound, tail_bound)
@@ -116,8 +162,7 @@ def _rq_spline(inputs, params, *, num_bins, tail_bound, inverse):
     bin_knots = y_knots if inverse else x_knots
     k = _searchsorted(bin_knots, z)
 
-    def take(arr, idx):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
+    take = _take_gather if use_gather else _take_onehot
 
     x_k = take(x_knots, k)
     x_k1 = take(x_knots, k + 1)

