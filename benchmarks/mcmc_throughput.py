@@ -1,0 +1,142 @@
+"""MCMC throughput sweep: posterior samples/s and ESS/s on the learned
+50-trial MNLE potential (BASELINE metric #2; reference workload
+mnle.py:77-93).
+
+Sweeps the knobs that matter against the ~30 ms per-launch dispatch floor of
+the single-chip tunnel: chains per launch, segment length, recovery-mirror
+cadence, and the MNLE log-prob kernel (XLA vs Pallas-fused). Writes
+artifacts/mcmc_throughput.json.
+
+Usage: MODEL_DIR=artifacts/models python benchmarks/mcmc_throughput.py
+       [--model mnle_10m.npz] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sbi_for_diffusion_models_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="mnle_10m.npz")
+    p.add_argument("--trials-obs", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--draws", type=int, default=125, help="draws per chain")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--out", type=str, default="artifacts/mcmc_throughput.json")
+    args = p.parse_args()
+
+    from sbi_for_diffusion_models_tpu.data_simulator import simulate_observed_session
+    from sbi_for_diffusion_models_tpu.distributions import mcmc_transform
+    from sbi_for_diffusion_models_tpu.inference.diagnostics import (
+        effective_sample_size,
+    )
+    from sbi_for_diffusion_models_tpu.inference.nuts import run_nuts
+    from sbi_for_diffusion_models_tpu.mnle import load_model
+    from sbi_for_diffusion_models_tpu.models.rt_choice_model import pack_x_rt_choice
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+    from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS as cfg
+
+    est = load_model(args.model)
+    prior = build_prior_theta()
+    bij = mcmc_transform(prior)
+
+    theta_true = prior.sample(jax.random.key(0), (1,))[0]
+    x_o, pulses_o = simulate_observed_session(
+        theta_true, args.trials_obs, seed=123, mu_sensory=cfg.MU_SENSORY,
+        p_success=cfg.P_SUCCESS,
+    )
+    x_o = pack_x_rt_choice(x_o, log_rt=False)
+    T = args.trials_obs
+
+    def make_logp(kernel):
+        lp_fn = est.dispatch_log_prob(kernel)
+
+        def logp(u):
+            theta = bij.forward(u)
+            lp = prior.log_prob(theta) + bij.forward_log_det(u)
+            cond = jnp.concatenate(
+                [jnp.broadcast_to(theta, (T, theta.shape[-1])), pulses_o], -1
+            )
+            return lp + jnp.sum(lp_fn(x_o, cond))
+
+        return logp
+
+    def run_one(name, *, chains, seg_len, mirror, kernel, max_depth=8):
+        logp = make_logp(kernel)
+        init = bij.inverse(
+            jnp.asarray(prior.sample(jax.random.key(7), (chains,)), jnp.float32)
+        )
+        kw = dict(
+            num_warmup=args.warmup, num_samples=args.draws,
+            max_depth=max_depth, segment_length=seg_len, mirror_every=mirror,
+        )
+        # Cold run compiles; warm run measures.
+        t0 = time.time()
+        s, info = run_nuts(jax.random.key(8), logp, init, **kw)
+        float(np.asarray(s).sum())
+        cold = time.time() - t0
+        t0 = time.time()
+        s, info = run_nuts(jax.random.key(9), logp, init, **kw)
+        float(np.asarray(s).sum())
+        warm = time.time() - t0
+        total = chains * args.draws
+        ess = effective_sample_size(np.asarray(bij.forward(s)))
+        row = {
+            "name": name, "chains": chains, "segment_length": seg_len,
+            "mirror_every": mirror, "kernel": kernel,
+            "warm_wall_s": round(warm, 2), "cold_wall_s": round(cold, 2),
+            "samples_per_s": round(total / warm, 1),
+            "min_ess": round(float(ess.min()), 1),
+            "ess_per_s": round(float(ess.min()) / warm, 2),
+            "divergences": int(np.asarray(info["diverging"]).sum()),
+            "mean_accept": round(float(np.asarray(info["accept_prob"]).mean()), 3),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = []
+    # Round-1 baseline configuration (11.7 samples/s measured then).
+    rows.append(run_one("r1-baseline", chains=8, seg_len=50, mirror=1, kernel="xla"))
+    if not args.quick:
+        rows.append(run_one("mirror8", chains=8, seg_len=50, mirror=8, kernel="xla"))
+        rows.append(run_one("seg225", chains=8, seg_len=225, mirror=8, kernel="xla"))
+        rows.append(run_one("c32", chains=32, seg_len=225, mirror=8, kernel="xla"))
+        rows.append(run_one("c128", chains=128, seg_len=225, mirror=8, kernel="xla"))
+        rows.append(
+            run_one("c32-pallas", chains=32, seg_len=225, mirror=8, kernel="pallas")
+        )
+        rows.append(
+            run_one("c128-pallas", chains=128, seg_len=225, mirror=8, kernel="pallas")
+        )
+    else:
+        rows.append(
+            run_one("quick-pallas", chains=8, seg_len=225, mirror=8, kernel="pallas")
+        )
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({"model": args.model, "rows": rows}, indent=2))
+    best = max(rows, key=lambda r: r["samples_per_s"])
+    print(
+        f"[mcmc_throughput] best: {best['name']} {best['samples_per_s']} samples/s "
+        f"({best['samples_per_s'] / 11.7:.1f}x round-1 baseline)"
+    )
+
+
+if __name__ == "__main__":
+    main()

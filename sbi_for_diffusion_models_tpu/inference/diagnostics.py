@@ -42,13 +42,19 @@ def effective_sample_size(chains: np.ndarray) -> np.ndarray:
             ess[d] = C * N
             continue
         rho = 1.0 - (within - mean_acov) / var_plus
-        # Geyer: sum consecutive pairs while positive.
-        t = 1
-        tau = 1.0
+        # Geyer initial positive sequence: Gamma_k = rho_{2k} + rho_{2k+1}
+        # (starting at rho_0 + rho_1), truncated at the first negative pair,
+        # with the initial monotone correction Gamma'_k = min(Gamma'_{k-1},
+        # Gamma_k) (Vehtari et al. 2021); tau = -1 + 2 sum_k Gamma'_k.
+        tau = -1.0
+        prev_pair = np.inf
+        t = 0
         while t + 1 < N:
             pair = rho[t] + rho[t + 1]
             if pair < 0:
                 break
+            pair = min(pair, prev_pair)
+            prev_pair = pair
             tau += 2.0 * pair
             t += 2
         ess[d] = C * N / max(tau, 1e-12)

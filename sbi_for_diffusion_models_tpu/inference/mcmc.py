@@ -45,9 +45,19 @@ class MCMCPosterior:
         init_strategy: str = "proposal",
         num_workers: int = 1,
         verbose: bool = True,
+        auto_fallback: bool = True,
+        fallback_divergence_rate: float = 0.10,
+        fallback_r_hat: float = 1.5,
     ):
         if method not in ("nuts", "nuts_pyro", "hmc", "slice", "slice_np_vectorized"):
             raise ValueError(f"unknown MCMC method {method!r}")
+        if init_strategy not in ("proposal", "resample"):
+            # sbi also offers "sir"/"latest_sample"; anything we don't
+            # implement is rejected instead of silently running "proposal".
+            raise ValueError(
+                f"unknown init_strategy {init_strategy!r}: "
+                "expected 'proposal' or 'resample'"
+            )
         self.potential = potential_fn
         self.proposal = proposal
         self.bij = theta_transform
@@ -61,6 +71,15 @@ class MCMCPosterior:
         self.target_accept = float(target_accept)
         self.init_strategy = init_strategy
         self.verbose = verbose
+        # NUTS -> slice auto-fallback (the reference notebooks' operational
+        # recipe, ryans_test.ipynb cell 4: try nuts_pyro, fall back to
+        # slice_np_vectorized): trigger on divergence storms or failed
+        # mixing (split R-hat), both signs of adaptation failure on stiff
+        # learned-likelihood geometry.
+        self.auto_fallback = bool(auto_fallback)
+        self.fallback_divergence_rate = float(fallback_divergence_rate)
+        self.fallback_r_hat = float(fallback_r_hat)
+        self.used_fallback = False
         self._last_info: Optional[dict] = None
 
     # -- potential in unconstrained space ----------------------------------
@@ -69,10 +88,36 @@ class MCMCPosterior:
         return self.potential.potential_fn(theta) + self.bij.forward_log_det(u)
 
     def _init_positions(self, key) -> jnp.ndarray:
-        """init_strategy="proposal": draw chain starts from the proposal
-        (reference mnle.py:85)."""
-        theta0 = self.proposal.sample(key, (self.num_chains,))
-        return self.bij.inverse(jnp.asarray(theta0, jnp.float32))
+        """Chain starts. "proposal": draw from the proposal (reference
+        mnle.py:85). "resample": draw a pool from the proposal, weight by the
+        potential, and resample the starts (sbi's importance-resampling
+        init) — chains start in the posterior's bulk, shortening warmup."""
+        if self.init_strategy == "proposal":
+            theta0 = self.proposal.sample(key, (self.num_chains,))
+            return self.bij.inverse(jnp.asarray(theta0, jnp.float32))
+        k_pool, k_pick = jax.random.split(key)
+        pool_size = max(32 * self.num_chains, 256)
+        pool = jnp.asarray(
+            self.proposal.sample(k_pool, (pool_size,)), jnp.float32
+        )
+        logw = jax.jit(jax.vmap(self.potential.potential_fn))(pool)
+        logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+        idx = jax.random.categorical(k_pick, logw, shape=(self.num_chains,))
+        return self.bij.inverse(pool[idx])
+
+    def _nuts_failed(self, samples_u, info) -> bool:
+        """Health check behind the NUTS -> slice auto-fallback."""
+        if not bool(jnp.all(jnp.isfinite(samples_u))):
+            return True
+        div_rate = float(jnp.mean(info["diverging"].astype(jnp.float32)))
+        if div_rate > self.fallback_divergence_rate:
+            return True
+        if self.num_chains >= 2 and samples_u.shape[1] >= 10:
+            from .diagnostics import split_r_hat
+
+            if float(np.max(split_r_hat(np.asarray(samples_u)))) > self.fallback_r_hat:
+                return True
+        return False
 
     def sample(
         self,
@@ -104,6 +149,21 @@ class MCMCPosterior:
                 target_accept=self.target_accept,
                 thin=self.thin,
             )
+            if self.auto_fallback and self._nuts_failed(samples_u, info):
+                self.used_fallback = True
+                print(
+                    "[mcmc] NUTS unhealthy (divergence storm / failed "
+                    "mixing); falling back to the vectorized slice sampler "
+                    "(reference recipe, ryans_test.ipynb cell 4)"
+                )
+                samples_u, info = run_slice(
+                    jax.random.fold_in(k_run, 1),
+                    self._logp_u,
+                    init_u,
+                    num_warmup=self.warmup_steps,
+                    num_samples=per_chain,
+                    thin=self.thin,
+                )
         else:
             samples_u, info = run_slice(
                 k_run,
@@ -119,7 +179,7 @@ class MCMCPosterior:
         theta = self.bij.forward(samples_u)
         pooled = jnp.swapaxes(theta, 0, 1).reshape(-1, theta.shape[-1])
         out = pooled[:num_samples]
-        if self.verbose and self.method == "nuts" and "accept_prob" in info:
+        if self.verbose and self.method == "nuts" and "diverging" in info:
             ap = float(jnp.mean(info["accept_prob"]))
             dv = int(jnp.sum(info["diverging"]))
             print(

@@ -487,6 +487,7 @@ def run_nuts(
     segment_length: int = 50,
     checkpoint_dir: str | None = None,
     device_retries: int = 2,
+    mirror_every: int | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run NUTS: warmup with step-size + diagonal-mass adaptation, then
     sampling. ``init_u``: (num_chains, D). Returns
@@ -620,6 +621,16 @@ def run_nuts(
     data_host = None if data is None else jax.tree.map(np.asarray, data)
     state_host = jax.tree.map(np.asarray, state)
 
+    # Full run fingerprint: a stale checkpoint whose (chains, D) happen to
+    # match but whose segment length, warmup, draw budget, thinning, or key
+    # differ would otherwise be silently spliced into the returned samples.
+    import hashlib as _hashlib
+
+    run_fingerprint = _hashlib.sha256(
+        keys_host.tobytes()
+        + f"L={L}/W={W}/S={num_samples}/thin={thin}/depth={max_depth}".encode()
+    ).hexdigest()[:16]
+
     ckpt_file = None
     start_segment = 0
     samples_host = []
@@ -632,13 +643,19 @@ def run_nuts(
         ckpt_file = ckpt_dir / "nuts_segments.npz"
         if ckpt_file.exists():
             blob = np.load(ckpt_file, allow_pickle=False)
+            stale_reason = None
             if blob["samples"].shape[0] != num_chains or blob["samples"].shape[2] != D:
-                # Stale checkpoint from a different run shape (e.g. a
-                # concurrent or earlier run with another chain count):
-                # ignore it and start fresh.
+                stale_reason = (
+                    f"chains/dim {blob['samples'].shape[0]}x{blob['samples'].shape[2]}"
+                    f" != {num_chains}x{D}"
+                )
+            elif "run_fingerprint" not in blob or str(blob["run_fingerprint"]) != run_fingerprint:
+                stale_reason = "run fingerprint mismatch (key/L/warmup/samples/thin)"
+            if stale_reason is not None:
+                # Stale checkpoint from a different run: ignore, start fresh.
                 print(
                     f"[run_nuts] ignoring stale checkpoint {ckpt_file} "
-                    f"(chains {blob['samples'].shape[0]} != {num_chains})"
+                    f"({stale_reason})"
                 )
                 blob = None
             if blob is not None:
@@ -696,60 +713,109 @@ def run_nuts(
             _time.sleep(poll_s)
         return False
 
-    for s in range(start_segment, n_segments):
+    # Throughput: every host round-trip through the tunnel costs ~30 ms of
+    # latency regardless of payload, so the loop (a) pipelines at depth 1 —
+    # segment s+1 is dispatched BEFORE segment s's outputs are pulled, hiding
+    # transfer latency behind device compute — (b) pulls samples + stats +
+    # state in ONE device_get, and (c) takes the full recovery mirror only
+    # every ``mirror_every`` collected segments. Recovery replays at most
+    # ``mirror_every`` segments, which is exact: segment keys and warmup
+    # flags are deterministic functions of (key, segment index).
+    if mirror_every is None:
+        mirror_every = 1 if checkpoint_dir is not None else 8
+    mirror_every = max(int(mirror_every), 1)
+
+    def _dispatch(s, keys, state):
         lo = s * L
         flags = (
             jnp.asarray(warm_flags_all[lo : lo + L]),
             jnp.asarray(collect_all[lo : lo + L]),
             jnp.asarray(update_all[lo : lo + L]),
         )
-        for attempt in range(device_retries + 1):
-            try:
-                seg_keys = jax.vmap(
-                    lambda k: jax.random.split(jax.random.fold_in(k, 1000 + s), L)
-                )(keys)
-                state_new, (u_seg, info_seg) = seg_fn(
-                    keys, state, data, seg_keys, flags
-                )
-                # Host transfer per segment: bounds device-queue depth, keeps
-                # launches short, and snapshots recovery state.
-                u_np = np.asarray(u_seg)  # (C, L, D)
-                info_np = jax.tree.map(np.asarray, info_seg)
-                state_host = jax.tree.map(np.asarray, state_new)
-                state = state_new
-                break
-            except jax.errors.JaxRuntimeError as e:
-                if attempt >= device_retries:
-                    raise
-                print(
-                    f"[run_nuts] device lost in segment {s} "
-                    f"({type(e).__name__}); waiting for recovery "
-                    f"(attempt {attempt + 1}/{device_retries})",
-                    flush=True,
-                )
-                if not _wait_for_device():
-                    raise
-                keys, state, data = _restore_device_state()
-        samples_host.append(u_np)
-        infos_host.append(info_np)
+        seg_keys = jax.vmap(
+            lambda k: jax.random.split(jax.random.fold_in(k, 1000 + s), L)
+        )(keys)
+        state_new, (u_seg, info_seg) = seg_fn(keys, state, data, seg_keys, flags)
+        return state_new, u_seg, info_seg
 
-        if ckpt_file is not None:
-            state_leaves = jax.tree.leaves(state_host)
-            np.savez(
-                ckpt_file,
-                next_segment=np.asarray(s + 1),
-                samples=np.concatenate(samples_host, axis=1),
-                accept_prob=np.concatenate(
-                    [i["accept_prob"] for i in infos_host], axis=1
-                ),
-                num_steps=np.concatenate(
-                    [i["num_steps"] for i in infos_host], axis=1
-                ),
-                diverging=np.concatenate(
-                    [i["diverging"] for i in infos_host], axis=1
-                ),
-                **{f"state_{i}": leaf for i, leaf in enumerate(state_leaves)},
+    def _save_ckpt(next_segment):
+        state_leaves = jax.tree.leaves(state_host)
+        np.savez(
+            ckpt_file,
+            run_fingerprint=np.asarray(run_fingerprint),
+            next_segment=np.asarray(next_segment),
+            samples=np.concatenate(samples_host, axis=1),
+            accept_prob=np.concatenate(
+                [i["accept_prob"] for i in infos_host], axis=1
+            ),
+            num_steps=np.concatenate(
+                [i["num_steps"] for i in infos_host], axis=1
+            ),
+            diverging=np.concatenate(
+                [i["diverging"] for i in infos_host], axis=1
+            ),
+            **{f"state_{i}": leaf for i, leaf in enumerate(state_leaves)},
+        )
+
+    # samples_host/infos_host may start with one resume-blob entry covering
+    # ``start_segment`` segments; everything appended after is one segment
+    # per entry (needed to truncate correctly when rewinding to a mirror).
+    n_prefix_entries = len(samples_host)
+    mirror_seg = start_segment  # state_host corresponds to this segment start
+    attempts = 0
+    s = start_segment
+    pending = None  # (seg_idx, state_new_dev, u_dev, info_dev)
+    while True:
+        try:
+            if s < n_segments:
+                state_new, u_seg, info_seg = _dispatch(s, keys, state)
+                state = state_new
+                new_pending = (s, state_new, u_seg, info_seg)
+                s += 1
+            else:
+                new_pending = None
+            if pending is not None:
+                seg_idx, state_dev, u_dev, info_dev = pending
+                mirror_due = (
+                    (seg_idx + 1 - start_segment) % mirror_every == 0
+                    or seg_idx == n_segments - 1
+                )
+                if mirror_due:
+                    u_np, info_np, state_np = jax.device_get(
+                        (u_dev, info_dev, state_dev)
+                    )
+                    state_host = state_np
+                    mirror_seg = seg_idx + 1
+                else:
+                    u_np, info_np = jax.device_get((u_dev, info_dev))
+                samples_host.append(u_np)
+                infos_host.append(info_np)
+                if ckpt_file is not None and mirror_due:
+                    _save_ckpt(mirror_seg)
+                attempts = 0
+            pending = new_pending
+            if pending is None:
+                break
+        except jax.errors.JaxRuntimeError as e:
+            attempts += 1
+            if attempts > device_retries:
+                raise
+            print(
+                f"[run_nuts] device lost near segment {s - 1} "
+                f"({type(e).__name__}); waiting for recovery, then replaying "
+                f"from segment {mirror_seg} "
+                f"(attempt {attempts}/{device_retries})",
+                flush=True,
             )
+            if not _wait_for_device():
+                raise
+            keys, state, data = _restore_device_state()
+            # Drop everything collected past the mirror and rewind.
+            keep = n_prefix_entries + (mirror_seg - start_segment)
+            del samples_host[keep:]
+            del infos_host[keep:]
+            s = mirror_seg
+            pending = None
 
     all_u = np.concatenate(samples_host, axis=1)  # (C, n_segments*L, D)
     samples = jnp.asarray(all_u[:, W : W + num_samples])

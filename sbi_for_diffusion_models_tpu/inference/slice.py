@@ -9,6 +9,12 @@ Classic Neal (2003) stepping-out + shrinkage per coordinate, with bounded
 loops so the whole sampler compiles to one XLA program: ``vmap`` over chains,
 ``lax.scan`` over draws, ``fori_loop`` over coordinates, ``while_loop`` for
 stepping-out/shrinkage.
+
+Per-coordinate interval widths adapt during warmup (sbi's vectorized slice
+tunes widths the same way): each accepted move updates an exponential moving
+average of |z - x0| per dimension and the bracket width is 4x that average,
+so stepping-out cost stays bounded whether the posterior is much narrower or
+much wider than the initial guess.
 """
 
 from __future__ import annotations
@@ -21,9 +27,15 @@ from jax import lax
 
 __all__ = ["run_slice"]
 
+# Width adaptation: EMA decay and bracket = _WIDTH_MULT * E|z - x0|.
+# For a Gaussian slice, E|z - x0| ~ 0.9 sigma, so 4x gives a ~3.5 sigma
+# initial bracket -- rarely needs stepping out, rarely over-shrinks.
+_WIDTH_EMA = 0.9
+_WIDTH_MULT = 4.0
+
 
 def _slice_one_dim(key, x, d, logp_fn, width, max_steps_out, max_shrink):
-    """Slice-update coordinate d of x. Returns new x."""
+    """Slice-update coordinate d of x. Returns (new x, accepted, |move|)."""
     k_h, k_u, k_shrink = jax.random.split(key, 3)
     logp0 = logp_fn(x)
     logy = logp0 + jnp.log(jax.random.uniform(k_h))
@@ -72,7 +84,8 @@ def _slice_one_dim(key, x, d, logp_fn, width, max_steps_out, max_shrink):
     _, _, z, accepted, _ = lax.while_loop(
         shrink_cond, shrink_body, (L, R, x0, jnp.bool_(False), jnp.int32(0))
     )
-    return x.at[d].set(jnp.where(accepted, z, x0))
+    x_new = x.at[d].set(jnp.where(accepted, z, x0))
+    return x_new, accepted, jnp.abs(z - x0)
 
 
 def run_slice(
@@ -87,6 +100,7 @@ def run_slice(
     max_shrink: int = 100,
     thin: int = 1,
     data=None,
+    adapt_width: bool = True,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the vectorized slice sampler.
 
@@ -94,7 +108,11 @@ def run_slice(
     pytree with leading axis num_chains giving each chain its own
     conditioning data (``logp_fn(u, data_i)``) — same contract as
     ``run_nuts``, so batched SBC works with either sampler.
-    Returns (samples (num_chains, num_samples, D), info dict).
+
+    Returns (samples (num_chains, num_samples, D), info dict) where info has
+    ``accept_prob`` (fraction of coordinate updates whose shrinkage found an
+    in-slice point, (num_chains, num_samples)) and ``width`` (final adapted
+    per-coordinate widths, (num_chains, D)).
     """
     num_chains, D = init_u.shape
 
@@ -104,37 +122,53 @@ def run_slice(
         else:
             lp_fn = lambda u: logp_fn(u, data_i)
 
-        def sweep(key, x):
-            """One full coordinate sweep."""
+        def sweep(key, x, w, adapt):
+            """One full coordinate sweep; adapts w when ``adapt``."""
 
             def body(d, carry):
-                x, key = carry
+                x, w, n_acc, key = carry
                 k = jax.random.fold_in(key, d)
-                return _slice_one_dim(
-                    k, x, d, lp_fn, jnp.float32(width), max_steps_out, max_shrink
-                ), key
+                x, accepted, move = _slice_one_dim(
+                    k, x, d, lp_fn, w[d], max_steps_out, max_shrink
+                )
+                w_new = _WIDTH_EMA * w[d] + (1 - _WIDTH_EMA) * _WIDTH_MULT * move
+                w_new = jnp.clip(w_new, 1e-3, 1e3)
+                w = w.at[d].set(jnp.where(adapt & accepted, w_new, w[d]))
+                return x, w, n_acc + accepted.astype(jnp.float32), key
 
-            x, _ = lax.fori_loop(0, D, body, (x, key))
-            return x
+            x, w, n_acc, _ = lax.fori_loop(
+                0, D, body, (x, w, jnp.float32(0.0), key)
+            )
+            return x, w, n_acc / D
 
-        def step(x, k):
-            def inner(x, kk):
-                return sweep(kk, x), None
+        def warm_step(carry, k):
+            x, w = carry
+            x, w, _ = sweep(k, x, w, jnp.bool_(adapt_width))
+            return (x, w), None
 
-            x, _ = lax.scan(inner, x, jax.random.split(k, thin))
-            return x, x
+        def samp_step(carry, k):
+            x, w = carry
 
+            def inner(carry, kk):
+                x, w = carry
+                x, w, acc = sweep(kk, x, w, jnp.bool_(False))
+                return (x, w), acc
+
+            (x, w), accs = lax.scan(inner, (x, w), jax.random.split(k, thin))
+            return (x, w), (x, jnp.mean(accs))
+
+        w0 = jnp.full((D,), jnp.float32(width))
         k_warm, k_samp = jax.random.split(chain_key)
-        x, _ = lax.scan(
-            lambda x, k: (sweep(k, x), None),
-            x0,
-            jax.random.split(k_warm, max(num_warmup, 1)),
+        (x, w), _ = lax.scan(
+            warm_step, (x0, w0), jax.random.split(k_warm, max(num_warmup, 1))
         )
-        _, samples = lax.scan(step, x, jax.random.split(k_samp, num_samples))
-        return samples
+        (_, w), (samples, accs) = lax.scan(
+            samp_step, (x, w), jax.random.split(k_samp, num_samples)
+        )
+        return samples, accs, w
 
     keys = jax.random.split(key, num_chains)
-    samples = jax.vmap(chain, in_axes=(0, 0, None if data is None else 0))(
-        keys, init_u, data
-    )
-    return samples, {}
+    samples, accs, widths = jax.vmap(
+        chain, in_axes=(0, 0, None if data is None else 0)
+    )(keys, init_u, data)
+    return samples, {"accept_prob": accs, "width": widths}

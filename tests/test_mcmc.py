@@ -68,6 +68,166 @@ class _GaussPotential:
         pass
 
 
+def test_slice_width_adaptation():
+    """Warmup must adapt the bracket to the target scale: a posterior with
+    sigma = 0.01 and one with sigma = 10 both mix from the default width."""
+    for sigma in (0.01, 10.0):
+        logp = lambda u: -0.5 * jnp.sum((u / sigma) ** 2)
+        init = 0.1 * sigma * jnp.ones((2, 2))
+        samples, info = run_slice(
+            jax.random.key(8), logp, init, num_warmup=200, num_samples=500
+        )
+        s = np.asarray(samples).reshape(-1, 2)
+        assert abs(s.std() / sigma - 1.0) < 0.25, f"sigma={sigma}: std={s.std()}"
+        # Adapted widths should land within an order of magnitude of 4 sigma.
+        w = float(np.median(np.asarray(info["width"])))
+        assert 0.4 * sigma < w < 40 * sigma, f"sigma={sigma}: width={w}"
+        # accept_prob is a real statistic now (shrinkage success fraction).
+        assert 0.0 < float(info["accept_prob"].mean()) <= 1.0
+
+
+def test_init_strategy_validation_and_resample():
+    prior = MultipleIndependent([Beta(5.0, 5.0), LogNormal(0.0, 0.5)])
+    with pytest.raises(ValueError, match="init_strategy"):
+        MCMCPosterior(
+            potential_fn=_GaussPotential(),
+            proposal=prior,
+            theta_transform=mcmc_transform(prior),
+            init_strategy="sir",
+        )
+    post = MCMCPosterior(
+        potential_fn=_GaussPotential(),
+        proposal=prior,
+        theta_transform=mcmc_transform(prior),
+        method="slice",
+        num_chains=4,
+        warmup_steps=50,
+        init_strategy="resample",
+        verbose=False,
+    )
+    samples = post.sample((100,), key=jax.random.key(9))
+    assert np.asarray(samples).shape == (100, 2)
+
+
+def test_nuts_slice_auto_fallback(monkeypatch):
+    """A divergence storm must trigger the reference notebooks' NUTS->slice
+    fallback recipe (ryans_test.ipynb cell 4)."""
+    import sbi_for_diffusion_models_tpu.inference.mcmc as mcmc_mod
+
+    prior = MultipleIndependent([Beta(5.0, 5.0), LogNormal(0.0, 0.5)])
+
+    def fake_run_nuts(key, logp, init_u, *, num_warmup, num_samples, **kw):
+        C, D = init_u.shape
+        return (
+            jnp.zeros((C, num_samples, D)),
+            {
+                "accept_prob": jnp.full((C, num_samples), 0.1),
+                "diverging": jnp.ones((C, num_samples), jnp.int32),
+                "num_steps": jnp.ones((C, num_samples), jnp.int32),
+            },
+        )
+
+    monkeypatch.setattr(mcmc_mod, "run_nuts", fake_run_nuts)
+    post = mcmc_mod.MCMCPosterior(
+        potential_fn=_GaussPotential(),
+        proposal=prior,
+        theta_transform=mcmc_transform(prior),
+        method="nuts",
+        num_chains=4,
+        warmup_steps=50,
+        verbose=False,
+    )
+    samples = post.sample((200,), key=jax.random.key(10))
+    assert post.used_fallback
+    s = np.asarray(samples)
+    # Fallback samples come from the real slice sampler over the prior.
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
+    assert abs(s[:, 0].mean() - 0.5) < 0.1
+
+
+def test_healthy_nuts_does_not_fall_back():
+    prior = MultipleIndependent([Beta(5.0, 5.0), LogNormal(0.0, 0.5)])
+    post = MCMCPosterior(
+        potential_fn=_GaussPotential(),
+        proposal=prior,
+        theta_transform=mcmc_transform(prior),
+        method="nuts",
+        num_chains=4,
+        warmup_steps=150,
+        verbose=False,
+    )
+    post.sample((200,), key=jax.random.key(11))
+    assert not post.used_fallback
+
+
+def test_nuts_checkpoint_fingerprint_guards_stale_resume(tmp_path, capsys):
+    """A checkpoint from a run with the same (chains, D) but different
+    key/segment/warmup/sample settings must be ignored, not spliced in."""
+    init = jax.random.normal(jax.random.key(20), (2, 2))
+    ck = str(tmp_path / "nuts")
+    s1, _ = run_nuts(
+        jax.random.key(21), gauss_logp, init, num_warmup=50, num_samples=60,
+        checkpoint_dir=ck,
+    )
+    # Identical settings: resume is a pure replay of completed segments.
+    s1b, _ = run_nuts(
+        jax.random.key(21), gauss_logp, init, num_warmup=50, num_samples=60,
+        checkpoint_dir=ck,
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    # Different key, same shapes: must NOT reuse the stored segments.
+    capsys.readouterr()
+    s2, _ = run_nuts(
+        jax.random.key(99), gauss_logp, init, num_warmup=50, num_samples=60,
+        checkpoint_dir=ck,
+    )
+    out = capsys.readouterr().out
+    assert "stale checkpoint" in out
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_nuts_mirror_every_invariance():
+    """Pipelining depth and mirror cadence are pure host-side scheduling:
+    samples must be bit-identical across mirror_every settings."""
+    init = jax.random.normal(jax.random.key(30), (2, 2))
+    s1, _ = run_nuts(
+        jax.random.key(31), gauss_logp, init, num_warmup=40, num_samples=50,
+        segment_length=20, mirror_every=1,
+    )
+    s2, _ = run_nuts(
+        jax.random.key(31), gauss_logp, init, num_warmup=40, num_samples=50,
+        segment_length=20, mirror_every=5,
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_nuts_device_loss_rewind_replays_exactly(monkeypatch):
+    """Inject a device loss mid-run: the driver must rewind to the last
+    mirror, replay, and produce bit-identical samples."""
+    import sbi_for_diffusion_models_tpu.inference.nuts as nuts_mod
+
+    init = jax.random.normal(jax.random.key(40), (2, 2))
+    kwargs = dict(num_warmup=30, num_samples=60, segment_length=15, mirror_every=2)
+    clean, _ = run_nuts(jax.random.key(41), gauss_logp, init, **kwargs)
+
+    real_get = jax.device_get
+    calls = {"n": 0}
+
+    def flaky_get(x):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise jax.errors.JaxRuntimeError("injected device loss")
+        return real_get(x)
+
+    monkeypatch.setattr(nuts_mod.jax, "device_get", flaky_get)
+    try:
+        faulted, _ = run_nuts(jax.random.key(41), gauss_logp, init, **kwargs)
+    finally:
+        monkeypatch.setattr(nuts_mod.jax, "device_get", real_get)
+    assert calls["n"] >= 3, "fault was never injected"
+    np.testing.assert_array_equal(np.asarray(clean), np.asarray(faulted))
+
+
 @pytest.mark.parametrize("method", ["nuts", "slice"])
 def test_mcmc_posterior_respects_support_and_shape(method):
     prior = MultipleIndependent([Beta(5.0, 5.0), LogNormal(0.0, 0.5)])
