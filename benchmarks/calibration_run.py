@@ -40,6 +40,15 @@ def main():
     p.add_argument("--outdir", type=str, default="artifacts/calibration")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--group-size", type=int, default=4)
+    # Estimator capacity knobs (reference hard-codes 128/10/24, mnle.py:36-38).
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--transforms", type=int, default=None)
+    p.add_argument("--bins", type=int, default=None)
+    p.add_argument("--trunk-depth", type=int, default=None)
+    p.add_argument("--embed-dim", type=int, default=None,
+                   help="pulse summary-embedding width (0 disables)")
+    p.add_argument("--censor-rt", action="store_true",
+                   help="censored-RT likelihood (choice==2 -> categorical only)")
     p.add_argument(
         "--reuse-model",
         action="store_true",
@@ -85,6 +94,16 @@ def main():
         # crashed under very large/deep NUTS launches (see CLAUDE.md).
         MCMC_MAX_TREE_DEPTH=8,
     )
+    arch = {
+        "MNLE_HIDDEN_FEATURES": args.hidden,
+        "MNLE_NUM_TRANSFORMS": args.transforms,
+        "MNLE_NUM_BINS": args.bins,
+        "MNLE_TRUNK_DEPTH": args.trunk_depth,
+        "MNLE_EMBED_DIM": args.embed_dim,
+    }
+    cfg = cfg.replace(**{k: v for k, v in arch.items() if v is not None})
+    if args.censor_rt:
+        cfg = cfg.replace(MNLE_CENSOR_RT=True)
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
     proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))
@@ -94,7 +113,7 @@ def main():
 
         est = load_model(args.model)
         sim_wall = train_wall = 0.0
-        print("[calibration] reusing saved mnle_calibration.npz")
+        print(f"[calibration] reusing saved {args.model}")
     else:
         t0 = time.time()
         z, x = simulate_training_set_with_conditions(cfg, proposal, seed=args.seed)
@@ -116,8 +135,15 @@ def main():
     sbc_wall = time.time() - t0
 
     stats = sbc_uniformity_stats(sbc["ranks"], args.post_samples)
+    # True simulation budget comes from the model's own training metadata
+    # when reusing a saved model — round 1 wrote the CLI default here, making
+    # the summaries inconsistent with the runs that produced them.
+    train_meta = est.train_meta or {}
+    sims_actual = train_meta.get("num_train", args.sims if not args.reuse_model else None)
     summary = {
-        "sims": args.sims,
+        "sims": sims_actual,
+        "model_file": args.model,
+        "train_meta": train_meta,
         "datasets": args.datasets,
         "post_samples": args.post_samples,
         "chains": args.chains,

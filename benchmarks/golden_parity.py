@@ -1,0 +1,175 @@
+"""Golden statistical parity vs the reference's one saved run artifact.
+
+The reference ships exactly one quantitative ground-truth artifact: a
+(10000, 5) posterior sample from a full default-config run
+(`/root/reference/mnle_outputs/posterior_samples_theta.npy`; SURVEY.md
+sections 4 & 6). This benchmark conditions OUR pipeline on a session that
+matches that run as closely as the reference's RNG discipline allows and
+compares posterior moments.
+
+What is exactly reproducible: the observed pulse matrix — the reference
+seeds a fresh ``np.random.default_rng(123)`` for it
+(reference data_simulator.py:86), independent of everything before, so we
+import the reference's own generator and use the bit-identical stimulus.
+
+What is NOT: theta_true and the trial noise — the reference samples both
+from torch's *global* RNG stream after 10k simulations and an sbi training
+run have consumed it (reference rt_choice_model_pipeline.py:87), which
+cannot be replayed without executing sbi itself. We therefore condition on
+theta_hat = the reference posterior's own mean (SBC says the posterior
+covers theta_true, so the mean is a calibrated estimate of it) and account
+for session-to-session posterior jitter in the tolerance: across independent
+50-trial sessions at the same theta, posterior means scatter on the order of
+the posterior std, so agreement is scored as |mean_ours - mean_ref| in
+units of std_ref, plus spread ratios (information content at the matched
+10k-sim budget and 50-trial session must agree).
+
+Writes artifacts/golden_parity.json.
+
+Usage: python benchmarks/golden_parity.py [--samples 10000] [--sims 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sbi_for_diffusion_models_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_ROOT = Path("/root/reference")
+REF_POSTERIOR = REF_ROOT / "mnle_outputs" / "posterior_samples_theta.npy"
+
+
+def reference_pulses(num_trials: int, P: int, p_success: float) -> np.ndarray:
+    """Bit-identical observed stimulus: the reference's own numpy generator
+    seeded exactly as its pipeline does (data_simulator.py:86, seed=123)."""
+    sys.path.insert(0, str(REF_ROOT / "src"))
+    from sbi_for_diffusion_models.models.rt_choice_model import (  # noqa: E501  (reference import, data generation only)
+        generate_pulse_matrix_numpy,
+    )
+
+    rng = np.random.default_rng(123)
+    return generate_pulse_matrix_numpy(
+        rng, n_trials=num_trials, n_pulses=P, p_success=p_success
+    ).astype(np.float32)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sims", type=int, default=10_000)
+    p.add_argument("--samples", type=int, default=10_000)
+    p.add_argument("--chains", type=int, default=40)
+    p.add_argument("--warmup", type=int, default=150)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="artifacts/golden_parity.json")
+    args = p.parse_args()
+
+    if not REF_POSTERIOR.exists():
+        print("[golden_parity] reference artifact not available; nothing to do")
+        return
+
+    from sbi_for_diffusion_models_tpu.data_simulator import (
+        simulate_training_set_with_conditions,
+    )
+    from sbi_for_diffusion_models_tpu.mnle import run_inference_mcmc, train_mnle
+    from sbi_for_diffusion_models_tpu.models.rt_choice_model import (
+        n_pulses_max_from_schedule,
+        pack_x_rt_choice,
+        pulse_schedule,
+        rt_choice_model_simulator_torch,
+    )
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+    from sbi_for_diffusion_models_tpu.proposals import (
+        ExtendedProposal,
+        PulseSequenceProposal,
+    )
+    from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS
+
+    ref = np.load(REF_POSTERIOR)
+    ref_mean, ref_std = ref.mean(0), ref.std(0)
+    print(f"[golden_parity] reference posterior mean={ref_mean.round(3)}")
+    print(f"[golden_parity] reference posterior std ={ref_std.round(3)}")
+
+    cfg = RUN_CONFIG_PARAMS.replace(
+        NUM_SIMULATIONS=args.sims,
+        NUM_CHAINS=args.chains,
+        WARMUP_STEPS=args.warmup,
+        POSTERIOR_SAMPLES=args.samples,
+        MCMC_MAX_TREE_DEPTH=8,
+    )
+    prior = build_prior_theta()
+    P = n_pulses_max_from_schedule(*pulse_schedule())
+
+    # The reference run's exact observed stimulus; session simulated at the
+    # reference posterior's mean (see module docstring for why).
+    pulses_o = jnp.asarray(reference_pulses(cfg.NUM_TRIALS_OBS, P, cfg.P_SUCCESS))
+    theta_hat = jnp.asarray(ref_mean, jnp.float32)
+    theta_rep = jnp.broadcast_to(theta_hat, (cfg.NUM_TRIALS_OBS, 5))
+    x_o = rt_choice_model_simulator_torch(
+        theta_rep,
+        rng=jax.random.key(args.seed + 123),
+        mu_sensory=cfg.MU_SENSORY,
+        pulse_sides=pulses_o,
+    )
+    x_o = pack_x_rt_choice(x_o, log_rt=cfg.LOG_RT_MANUALLY)
+
+    # Matched-budget estimator (the reference default: 10k sims, 128/10/24).
+    proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))
+    z, x = simulate_training_set_with_conditions(cfg, proposal, seed=args.seed)
+    est = train_mnle(cfg, proposal, z, x, seed=args.seed + 1)
+
+    samples = run_inference_mcmc(
+        cfg, prior, est, x_o, pulses_o, seed=args.seed + 2
+    )
+    ours = np.asarray(samples)
+    our_mean, our_std = ours.mean(0), ours.std(0)
+
+    z_dist = np.abs(our_mean - ref_mean) / ref_std
+    std_ratio = our_std / ref_std
+    names = ["a0", "lam", "v", "B", "tau"]
+    report = {
+        "reference_artifact": str(REF_POSTERIOR),
+        "ref_mean": ref_mean.tolist(),
+        "ref_std": ref_std.tolist(),
+        "our_mean": our_mean.tolist(),
+        "our_std": our_std.tolist(),
+        "mean_zdist_in_ref_std": z_dist.tolist(),
+        "std_ratio": std_ratio.tolist(),
+        "sims": args.sims,
+        "samples": int(ours.shape[0]),
+        "caveat": (
+            "theta conditioned at the reference posterior mean with the "
+            "reference's bit-exact pulse stimulus; trial noise is a fresh "
+            "session (reference torch RNG state is not replayable), so "
+            "means are expected to agree within ~2-3 posterior stds and "
+            "spreads within ~2x."
+        ),
+        # Session-to-session jitter of the posterior mean is O(std); 3 stds
+        # is a conservative agreement gate, spread within [0.4, 2.5].
+        "pass": bool(np.all(z_dist < 3.0) and np.all(std_ratio > 0.4)
+                     and np.all(std_ratio < 2.5)),
+    }
+    for i, n in enumerate(names):
+        print(
+            f"[golden_parity] {n}: ref {ref_mean[i]:.3f}+-{ref_std[i]:.3f} "
+            f"ours {our_mean[i]:.3f}+-{our_std[i]:.3f} "
+            f"z={z_dist[i]:.2f} std_ratio={std_ratio[i]:.2f}"
+        )
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(f"[golden_parity] {'PASS' if report['pass'] else 'DISAGREEMENT'} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

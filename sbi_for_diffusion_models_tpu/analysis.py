@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["pairplot", "sbc_uniformity_stats"]
+__all__ = ["pairplot", "sbc_uniformity_stats", "sbc_ecdf_plot"]
 
 
 def pairplot(
@@ -92,3 +92,67 @@ def sbc_uniformity_stats(ranks: np.ndarray, num_posterior_samples: int) -> dict:
         out["ks_pvalues"].append(float(ks.pvalue))
         out["chi2_pvalues"].append(float(chi2.pvalue))
     return out
+
+
+def _ecdf_band(n: int, alpha: float = 0.05, n_grid: int = 101, n_sim: int = 2000,
+               seed: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Simultaneous (1 - alpha) confidence band for the ECDF-difference of n
+    uniform draws, via Monte Carlo over the supremum statistic (the standard
+    SBC ECDF-band construction; more powerful at the tails than pointwise
+    binomial bands)."""
+    rng = np.random.default_rng(seed)
+    grid = np.linspace(0.0, 1.0, n_grid)
+    sups = np.empty(n_sim)
+    for s in range(n_sim):
+        u = np.sort(rng.uniform(size=n))
+        ecdf = np.searchsorted(u, grid, side="right") / n
+        sups[s] = np.abs(ecdf - grid).max()
+    q = np.quantile(sups, 1.0 - alpha)
+    return grid, grid - q, grid + q
+
+
+def sbc_ecdf_plot(
+    ranks: np.ndarray,
+    num_posterior_samples: int,
+    outpath: str | Path,
+    param_names: Optional[Sequence[str]] = None,
+    alpha: float = 0.05,
+):
+    """ECDF-difference plot with a simultaneous confidence band — the
+    standard high-power SBC visual (rank histograms hide small systematic
+    bias that this makes visible as a sustained band excursion).
+
+    Plots ECDF(u) - u per parameter for u = (rank + 0.5) / (S + 1), with a
+    Monte-Carlo simultaneous (1 - alpha) band under exact uniformity.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ranks = np.asarray(ranks, np.float64)
+    n, d = ranks.shape
+    if param_names is None:
+        param_names = [f"theta_{i}" for i in range(d)]
+    grid, lo, hi = _ecdf_band(n, alpha=alpha)
+
+    fig, axes = plt.subplots(1, d, figsize=(3 * d, 3), sharey=True)
+    if d == 1:
+        axes = [axes]
+    for i, ax in enumerate(axes):
+        u = np.sort((ranks[:, i] + 0.5) / (num_posterior_samples + 1))
+        ecdf = np.searchsorted(u, grid, side="right") / n
+        ax.fill_between(grid, lo - grid, hi - grid, color="#cccccc", alpha=0.7,
+                        label=f"{int((1-alpha)*100)}% simultaneous band")
+        ax.plot(grid, ecdf - grid, color="#4477aa", lw=1.5)
+        ax.axhline(0.0, color="k", lw=0.5)
+        ax.set_title(param_names[i])
+        ax.set_xlabel("u")
+        if i == 0:
+            ax.set_ylabel("ECDF(u) - u")
+    fig.tight_layout()
+    outpath = Path(outpath)
+    fig.savefig(outpath, dpi=120)
+    plt.close(fig)
+    print(f"[sbc_ecdf_plot] wrote {outpath}")
+    return outpath

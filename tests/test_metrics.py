@@ -49,3 +49,14 @@ def test_nan_guard_raises_on_nan():
     assert_finite("ok", jnp.ones(3))
     with pytest.raises(FloatingPointError, match="non-finite"):
         assert_finite("bad", jnp.array([1.0, float("nan")]))
+
+
+def test_sbc_ecdf_plot(tmp_path):
+    import numpy as np
+
+    from sbi_for_diffusion_models_tpu.analysis import sbc_ecdf_plot
+
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 601, size=(48, 5))
+    out = sbc_ecdf_plot(ranks, 600, tmp_path / "ecdf.png")
+    assert out.exists() and out.stat().st_size > 0

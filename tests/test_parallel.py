@@ -129,3 +129,23 @@ def test_tp_train_step_2d_mesh():
         params, opt_state, loss = step(params, opt_state, x_s, z_s)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_multihost_single_process_semantics():
+    """initialize_multihost is a no-op without a coordinator; global_mesh
+    spans all (fake) devices and matches default_mesh."""
+    from sbi_for_diffusion_models_tpu.parallel.multihost import (
+        global_mesh,
+        initialize_multihost,
+        is_multihost,
+        process_info,
+    )
+
+    info = initialize_multihost()
+    assert not is_multihost()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] == jax.device_count()
+    m = global_mesh("data")
+    assert m.devices.size == jax.device_count()
+    assert m.axis_names == ("data",)
+    assert info == process_info()
