@@ -98,8 +98,20 @@ def train_mnle(
     n = x.shape[0]
     key = as_key(seed)
 
-    num_categories = int(np.asarray(x[:, 1]).max()) + 1
-    num_categories = max(num_categories, 3)
+    if cfg.MNLE_NUM_CATEGORIES > 0:
+        num_categories = cfg.MNLE_NUM_CATEGORIES
+        observed_max = int(np.asarray(x[:, 1]).max())
+        if observed_max >= num_categories:
+            raise ValueError(
+                f"MNLE_NUM_CATEGORIES={num_categories} but training data "
+                f"contains category {observed_max}"
+            )
+    else:
+        # Infer from data (floored at 3: {0, 1, censored}); brittle only if a
+        # variant's rare category is absent from the training draw — set
+        # MNLE_NUM_CATEGORIES explicitly there.
+        num_categories = int(np.asarray(x[:, 1]).max()) + 1
+        num_categories = max(num_categories, 3)
     # Pulse summary embedding (TPU extension): the theta/pulse split of the
     # condition comes from the proposal's own event layout.
     theta_dim = getattr(proposal_z, "theta_dim", None)

@@ -61,6 +61,11 @@ class RunConfig:
     MNLE_NUM_TRANSFORMS: int = 10
     MNLE_NUM_BINS: int = 24
     MNLE_TAIL_BOUND: float = 5.0
+    # Number of discrete choice categories. 0 = infer from the training data
+    # (max observed + 1, floored at 3 for {0, 1, censored}); set explicitly
+    # for variants whose rare categories may be absent from a finite
+    # training draw.
+    MNLE_NUM_CATEGORIES: int = 0
     # Depth of the conditioner MLPs (categorical head + flow trunk); the
     # reference's sbi nets are 2 layers deep.
     MNLE_TRUNK_DEPTH: int = 2

@@ -185,6 +185,33 @@ def test_double_log_transform_rejected():
         train_mnle(cfg, None, jnp.zeros((20, 4)), jnp.ones((20, 2)))
 
 
+def test_num_categories_explicit_and_validated():
+    """MNLE_NUM_CATEGORIES pins the category count (for variants whose rare
+    categories may be missing from a finite training draw); data containing
+    an out-of-range category is rejected loudly."""
+    cfg = RUN_CONFIG_PARAMS.replace(
+        MNLE_NUM_CATEGORIES=4,
+        NUM_SIMULATIONS=64,
+        TRAIN_MAX_EPOCHS=1,
+        MNLE_HIDDEN_FEATURES=16,
+        MNLE_NUM_TRANSFORMS=2,
+        MNLE_NUM_BINS=8,
+    )
+    z = jnp.concatenate(
+        [jnp.abs(jax.random.normal(jax.random.key(0), (64, 5))) + 0.2,
+         jnp.ones((64, 3))], -1,
+    )
+    x = jnp.stack(
+        [jnp.exp(0.1 * jax.random.normal(jax.random.key(1), (64,))),
+         jnp.zeros((64,))], -1,
+    )
+    est = train_mnle(cfg, None, z, x)
+    assert est.cfg.num_categories == 4  # not the data-inferred 3
+    bad = x.at[0, 1].set(7.0)
+    with pytest.raises(ValueError, match="MNLE_NUM_CATEGORIES"):
+        train_mnle(cfg, None, z, bad)
+
+
 def test_z_score_x_string_semantics():
     """Z_SCORE_X is a string in the reference; unknown values must be loudly
     rejected, and None/'none' must disable x standardization."""
