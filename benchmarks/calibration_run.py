@@ -47,6 +47,11 @@ def main():
     p.add_argument("--trunk-depth", type=int, default=None)
     p.add_argument("--embed-dim", type=int, default=None,
                    help="pulse summary-embedding width (0 disables)")
+    p.add_argument("--embed-mode", type=str, default=None,
+                   choices=("replace", "append"),
+                   help="swap the raw pulse block for the embedding, or keep "
+                        "it and append (append + --embed-dim 0 = physics "
+                        "features alone)")
     p.add_argument("--censor-rt", action="store_true",
                    help="censored-RT likelihood (choice==2 -> categorical only)")
     p.add_argument(
@@ -100,6 +105,7 @@ def main():
         "MNLE_NUM_BINS": args.bins,
         "MNLE_TRUNK_DEPTH": args.trunk_depth,
         "MNLE_EMBED_DIM": args.embed_dim,
+        "MNLE_EMBED_MODE": args.embed_mode,
     }
     cfg = cfg.replace(**{k: v for k, v in arch.items() if v is not None})
     if args.censor_rt:

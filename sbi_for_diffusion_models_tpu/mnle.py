@@ -115,9 +115,10 @@ def train_mnle(
     # Pulse summary embedding (TPU extension): the theta/pulse split of the
     # condition comes from the proposal's own event layout.
     theta_dim = getattr(proposal_z, "theta_dim", None)
+    want_pulse_block = cfg.MNLE_EMBED_DIM > 0 or cfg.MNLE_EMBED_MODE == "append"
     pulse_dim = (
         int(z.shape[1]) - int(theta_dim)
-        if cfg.MNLE_EMBED_DIM > 0 and theta_dim is not None
+        if want_pulse_block and theta_dim is not None
         else 0
     )
     mcfg = MNLEConfig(
@@ -134,6 +135,7 @@ def train_mnle(
         pulse_dim=pulse_dim,
         embed_dim=cfg.MNLE_EMBED_DIM if pulse_dim > 0 else 0,
         embed_depth=cfg.MNLE_EMBED_DEPTH,
+        embed_mode=cfg.MNLE_EMBED_MODE,
         censor_rt=cfg.MNLE_CENSOR_RT,
     )
 

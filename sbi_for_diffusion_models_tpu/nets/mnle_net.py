@@ -61,6 +61,11 @@ class MNLEConfig:
     embed_dim: int = 0
     embed_depth: int = 2
     lam_index: int = 1
+    # "replace": the raw pulse block is swapped for [embedding, features]
+    # (compresses 80 -> embed_dim + 6; lossy). "append": the raw block is
+    # kept and [embedding?, features] are appended (strictly more
+    # informative; use embed_dim=0 to append the physics features alone).
+    embed_mode: str = "replace"
     # Censored-RT likelihood: trials whose choice equals ``censored_category``
     # have a (near-)deterministic RT — the simulator pins them to the window
     # end ~ T_MAX (reference rt_choice_model.py:208-218) — so their RT is a
@@ -155,15 +160,24 @@ class MNLENet(nn.Module):
             )
 
     def make_context(self, c_std, c_raw):
-        """Head input: z-scored condition, optionally with the pulse block
-        replaced by [learned embedding, physics summaries]."""
+        """Head input: z-scored condition, optionally augmented with the
+        pulse summary block ("replace": raw pulses swapped for [embedding,
+        physics features]; "append": raw pulses kept, [embedding?, features]
+        appended)."""
         cfg = self.cfg
-        if cfg.embed_dim <= 0 or cfg.pulse_dim <= 0:
+        use_embed = cfg.embed_dim > 0 and cfg.pulse_dim > 0
+        append = cfg.embed_mode == "append"
+        if cfg.pulse_dim <= 0 or not (use_embed or append):
             return c_std
         k = cfg.condition_dim - cfg.pulse_dim
         feats = pulse_physics_features(c_raw, k, cfg.pulse_dim, cfg.lam_index)
-        emb = self.pulse_embed(jnp.concatenate([c_std[..., k:], feats], axis=-1))
-        return jnp.concatenate([c_std[..., :k], emb, feats], axis=-1)
+        parts = [c_std] if append else [c_std[..., :k]]
+        if use_embed:
+            parts.append(
+                self.pulse_embed(jnp.concatenate([c_std[..., k:], feats], -1))
+            )
+        parts.append(feats)
+        return jnp.concatenate(parts, axis=-1)
 
     def choice_logits(self, c):
         """(..., context_dim) -> (..., num_categories) log-probabilities."""

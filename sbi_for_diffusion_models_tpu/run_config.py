@@ -75,6 +75,10 @@ class RunConfig:
     # matching the reference's flat 85-dim input (reference mnle.py:31-39).
     MNLE_EMBED_DIM: int = 0
     MNLE_EMBED_DEPTH: int = 2
+    # "replace" swaps the raw pulse block for [embedding, features] (lossy);
+    # "append" keeps the raw block and appends [embedding?, features]
+    # (with MNLE_EMBED_DIM=0 appends the physics features alone).
+    MNLE_EMBED_MODE: str = "replace"
     # Censored-RT likelihood: censored trials (choice == 2, RT pinned at the
     # window end, reference rt_choice_model.py:208-218) contribute only
     # P(choice | z) instead of a smoothed point-mass density. False = the

@@ -100,6 +100,32 @@ def test_embedded_log_prob_normalizes():
     assert abs(float(total) - 1.0) < 0.02, f"density integrates to {float(total)}"
 
 
+def test_append_mode_log_prob_normalizes():
+    """embed_mode="append" (raw pulses kept + features appended, with and
+    without a learned embedding) must stay a normalized density."""
+    for embed_dim in (0, 6):
+        cfg = MNLEConfig(
+            condition_dim=12, num_categories=3, pulse_dim=8,
+            embed_dim=embed_dim, embed_mode="append", **SMALL,
+        )
+        est = build_mnle(jax.random.key(17), cfg)
+        key = jax.random.key(18)
+        theta = jnp.abs(jax.random.normal(jax.random.fold_in(key, 0), (4,))) + 0.1
+        pulses = jnp.where(
+            jax.random.uniform(jax.random.fold_in(key, 1), (8,)) < 0.5, 1.0, -1.0
+        )
+        cond = jnp.concatenate([theta, pulses])
+        rts = jnp.linspace(1e-3, 60.0, 8000)
+        total = 0.0
+        for c in range(3):
+            x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+            lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 12)))
+            total += jnp.trapezoid(jnp.exp(lp), rts)
+        assert abs(float(total) - 1.0) < 0.02, (
+            f"embed_dim={embed_dim}: density integrates to {float(total)}"
+        )
+
+
 def test_pulse_physics_features():
     """Decayed-evidence summaries: all-same-side pulses with zero leak give
     F = n_visible / sqrt(n_visible); flipping the stimulus flips the sign."""
