@@ -52,6 +52,9 @@ def main():
                    help="swap the raw pulse block for the embedding, or keep "
                         "it and append (append + --embed-dim 0 = physics "
                         "features alone)")
+    p.add_argument("--rt-rep", type=str, default=None, choices=("log", "pulse"),
+                   help="RT representation (pulse = slot/phase grid "
+                        "factorization; implies --censor-rt)")
     p.add_argument("--censor-rt", action="store_true",
                    help="censored-RT likelihood (choice==2 -> categorical only)")
     p.add_argument(
@@ -108,7 +111,9 @@ def main():
         "MNLE_EMBED_MODE": args.embed_mode,
     }
     cfg = cfg.replace(**{k: v for k, v in arch.items() if v is not None})
-    if args.censor_rt:
+    if args.rt_rep:
+        cfg = cfg.replace(MNLE_RT_REP=args.rt_rep)
+    if args.censor_rt or args.rt_rep == "pulse":
         cfg = cfg.replace(MNLE_CENSOR_RT=True)
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())

@@ -28,6 +28,9 @@ log-scale sweep pulls the posterior down).
 
 from __future__ import annotations
 
+# Per-trial log-likelihood floor applied to BOTH profiles (tail saturation).
+_TRIAL_FLOOR = -20.0
+
 import argparse
 import json
 import sys
@@ -80,7 +83,11 @@ def true_loglik_profile(theta_grid, x_o, pulses_o, key, reps, kernel_fn):
                     lp += np.log(max(dens, 1e-300)) - np.log(max(rt_o, 1e-6))
                 else:
                     lp += -50.0  # choice so rare the RT density is undefined
-            total[g] += lp
+            # Common per-trial floor with the model profile: far outside the
+            # replicate support the KDE underflows to log ~ -700, which would
+            # swamp the profile with tail noise irrelevant to the posterior
+            # bulk.
+            total[g] += max(lp, _TRIAL_FLOOR)
     return total
 
 
@@ -90,7 +97,7 @@ def main():
     p.add_argument("--dims", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--datasets", type=int, default=6)
     p.add_argument("--points", type=int, default=11)
-    p.add_argument("--span", type=float, default=0.5,
+    p.add_argument("--span", type=float, default=0.3,
                    help="sweep +-span in log-space around theta*")
     p.add_argument("--reps", type=int, default=4096)
     p.add_argument("--trials-obs", type=int, default=50)
@@ -159,7 +166,10 @@ def main():
                     )
                     xb = jnp.broadcast_to(jnp.asarray(x_o), (args.points, T, 2))
                     return jnp.sum(
-                        est.log_prob_fn(est.params, xb, cond), axis=-1
+                        jnp.maximum(
+                            est.log_prob_fn(est.params, xb, cond), _TRIAL_FLOOR
+                        ),
+                        axis=-1,
                     )
 
                 lm = np.asarray(jax.jit(model_profile)(theta_grid))

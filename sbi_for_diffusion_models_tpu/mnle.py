@@ -137,13 +137,25 @@ def train_mnle(
         embed_depth=cfg.MNLE_EMBED_DEPTH,
         embed_mode=cfg.MNLE_EMBED_MODE,
         censor_rt=cfg.MNLE_CENSOR_RT,
+        rt_rep=cfg.MNLE_RT_REP,
     )
 
     # Standardization stats ("independent" z-scoring, reference mnle.py:34-35).
     cond_mean = jnp.mean(z, axis=0)
     cond_std = jnp.maximum(jnp.std(z, axis=0), 1e-6)
     rt = x[:, 0]
-    t = jnp.log(jnp.maximum(rt, 1e-37)) if mcfg.log_transform_x else rt
+    if mcfg.rt_rep == "pulse":
+        from .nets.mnle_net import pulse_grid_split
+
+        theta_dim_stats = theta_dim if theta_dim is not None else 5
+        if mcfg.tnd_index >= theta_dim_stats:
+            raise ValueError(
+                f"tnd_index={mcfg.tnd_index} outside theta block "
+                f"(theta_dim={theta_dim_stats})"
+            )
+        _, _, t, _, _ = pulse_grid_split(mcfg, rt, z[:, mcfg.tnd_index])
+    else:
+        t = jnp.log(jnp.maximum(rt, 1e-37)) if mcfg.log_transform_x else rt
     if mcfg.censor_rt:
         # The flow only ever sees non-censored rows; standardize on those.
         m = (x[:, 1] != mcfg.censored_category).astype(t.dtype)

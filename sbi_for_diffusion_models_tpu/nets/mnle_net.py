@@ -77,6 +77,59 @@ class MNLEConfig:
     # smoothing behavior.
     censor_rt: bool = False
     censored_category: int = 2
+    # RT representation.
+    #
+    # "log" (reference-style): the flow models z-scored log RT.
+    #
+    # "pulse" (physics-informed, TPU extension): evidence arrives only at
+    # discrete pulse times, so boundary crossings cluster tightly at pulse
+    # arrivals — empirically >90% of non-censored RT mass lies within the
+    # first 10% of a pulse interval even at prior-median drift. The RT
+    # distribution is near-ATOMIC on the grid rt = t_nd + (k + phi) * Delta
+    # (t_nd read off the trial's own theta), which a smooth spline flow over
+    # log RT can only blur — the dominant estimator bias found by
+    # high-power SBC. This representation factors it exactly:
+    #     p(rt | z, choice) = P(k | z, choice)              (slot head)
+    #                       * p(phi | z, choice, k)          (flow, smooth)
+    # with k = floor((rt - t_nd)/Delta) a categorical over num_pulse_slots
+    # and phi in (0,1) the within-interval phase, flowed through a logit so
+    # the density is exactly normalized on (0,1). Requires censor_rt=True
+    # (the censored atom is handled by the choice head).
+    rt_rep: str = "log"
+    num_pulse_slots: int = 80
+    pulse_interval: float = 0.1
+    euler_dt: float = 5e-4
+    tnd_index: int = 4
+
+
+def pulse_grid_split(cfg: "MNLEConfig", rt, t_nd):
+    """rt -> (k, phi, s, log|ds/drt|, barrier) for the "pulse" RT rep.
+
+    k = floor((rt - t_nd)/Delta) clipped to [0, K-1]; phi in (0,1) is the
+    within-interval phase; s = logit(phi) (bijective (0,1) -> R, so the flow
+    density is exactly normalized on the interval). ``barrier`` is a smooth
+    quadratic penalty active only where rt <= t_nd + dt — the region the
+    simulator cannot reach (rt = t_nd + hit_step*dt with hit_step >= 1,
+    reference rt_choice_model.py:218), which the log-RT rep could only
+    penalize through learned density mass.
+    """
+    delta = cfg.pulse_interval
+    dtt = rt - t_nd
+    behind = jax.nn.relu(cfg.euler_dt - dtt)
+    barrier = -((behind / delta) ** 2) * 1e4
+    u = jnp.clip(dtt, cfg.euler_dt, None) / delta
+    k = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cfg.num_pulse_slots - 1)
+    phi = jnp.clip(u - k.astype(u.dtype), 1e-6, 1.0 - 1e-6)
+    s = jnp.log(phi) - jnp.log1p(-phi)
+    # |d s / d rt| = 1 / (phi (1 - phi) delta)
+    ds = -jnp.log(phi) - jnp.log1p(-phi) - jnp.log(delta)
+    return k, phi, s, ds, barrier
+
+
+def pulse_grid_join(cfg: "MNLEConfig", k, s, t_nd):
+    """Inverse of :func:`pulse_grid_split` for sampling: (k, s) -> rt."""
+    phi = jnp.clip(jax.nn.sigmoid(s), 1e-6, 1.0 - 1e-6)
+    return t_nd + (k.astype(s.dtype) + phi) * cfg.pulse_interval
 
 
 # Horizon times (seconds) for the leak-decayed pulse-evidence summaries.
@@ -158,6 +211,11 @@ class MNLENet(nn.Module):
             self.pulse_embed = _MLP(
                 cfg.hidden_features, cfg.embed_dim, depth=cfg.embed_depth
             )
+        if cfg.rt_rep == "pulse":
+            # Pulse-slot head: P(k | ctx, choice) over the RT grid.
+            self.pulse_slot_head = nn.Dense(
+                cfg.num_pulse_slots, precision=_PRECISION
+            )
 
     def make_context(self, c_std, c_raw):
         """Head input: z-scored condition, optionally augmented with the
@@ -183,14 +241,27 @@ class MNLENet(nn.Module):
         """(..., context_dim) -> (..., num_categories) log-probabilities."""
         return jax.nn.log_softmax(self.cat_net(c), axis=-1)
 
-    def _spline_params(self, c, choice_onehot):
+    def _trunk_emb(self, c, choice_onehot):
         ctx = jnp.concatenate([c, choice_onehot], axis=-1)
-        emb = nn.relu(self.flow_trunk(ctx))
+        return nn.relu(self.flow_trunk(ctx))
+
+    def slot_logits(self, c, choice_onehot):
+        """(pulse rep) (..., ctx), (..., C) -> (..., K) log P(k | c, choice)."""
+        emb = self._trunk_emb(c, choice_onehot)
+        return jax.nn.log_softmax(self.pulse_slot_head(emb), axis=-1)
+
+    def _spline_params(self, c, choice_onehot, k_feat=None):
+        emb = self._trunk_emb(c, choice_onehot)
+        if k_feat is not None:
+            # Pulse rep: the phase flow is conditioned on the slot index
+            # (normalized scalar) — phase shape drifts with slot (later slots
+            # are closer to leak equilibrium, broader phases).
+            emb = jnp.concatenate([emb, k_feat], axis=-1)
         return [head(emb) for head in self.flow_heads]
 
-    def flow_log_prob(self, u, c, choice_onehot):
+    def flow_log_prob(self, u, c, choice_onehot, k_feat=None):
         """log p(u | c, choice) for scalar u (shape (...,))."""
-        params = self._spline_params(c, choice_onehot)
+        params = self._spline_params(c, choice_onehot, k_feat)
         log_det = jnp.zeros_like(u)
         z = u
         for p in params:  # normalizing direction: data -> base
@@ -201,9 +272,9 @@ class MNLENet(nn.Module):
         base = -_LOG_SQRT_2PI - 0.5 * z**2
         return base + log_det
 
-    def flow_sample(self, key, c, choice_onehot):
+    def flow_sample(self, key, c, choice_onehot, k_feat=None):
         """Draw u ~ p(u | c, choice); c/choice_onehot shaped (..., d)."""
-        params = self._spline_params(c, choice_onehot)
+        params = self._spline_params(c, choice_onehot, k_feat)
         z = jax.random.normal(key, c.shape[:-1])
         for p in reversed(params):  # generative direction: base -> data
             z, _ = rq_spline_inverse(
@@ -214,6 +285,13 @@ class MNLENet(nn.Module):
     def __call__(self, u, c_std, c_raw, choice_onehot):
         """Used only for init: touch all submodules."""
         ctx = self.make_context(c_std, c_raw)
+        if self.cfg.rt_rep == "pulse":
+            k_feat = jnp.zeros(u.shape + (1,), u.dtype)
+            return (
+                self.choice_logits(ctx),
+                self.slot_logits(ctx, choice_onehot),
+                self.flow_log_prob(u, ctx, choice_onehot, k_feat),
+            )
         return self.choice_logits(ctx), self.flow_log_prob(u, ctx, choice_onehot)
 
 
@@ -256,6 +334,37 @@ class MNLE:
         if cfg.z_score_theta:
             c = (c - self.cond_mean) / self.cond_std
 
+        onehot = jax.nn.one_hot(choice, cfg.num_categories)
+        ctx = self._net.apply(
+            {"params": params}, c, condition, method=MNLENet.make_context
+        )
+        logits = self._net.apply(
+            {"params": params}, ctx, method=MNLENet.choice_logits
+        )
+        cat_lp = jnp.take_along_axis(logits, choice[..., None], axis=-1)[..., 0]
+
+        if cfg.rt_rep == "pulse":
+            # rt = t_nd + (k + phi) * Delta: slot head carves the atomic
+            # structure, the flow models the smooth within-interval phase.
+            t_nd = condition[..., cfg.tnd_index]
+            k, _, s, ds, barrier = pulse_grid_split(cfg, rt, t_nd)
+            t, log_det = s, ds
+            if cfg.z_score_x:
+                t = (t - self.x_mean) / self.x_std
+                log_det = log_det - jnp.log(self.x_std)
+            slot_all = self._net.apply(
+                {"params": params}, ctx, onehot, method=MNLENet.slot_logits
+            )
+            slot_lp = jnp.take_along_axis(slot_all, k[..., None], axis=-1)[..., 0]
+            k_feat = ((k.astype(t.dtype) + 0.5) / cfg.num_pulse_slots)[..., None]
+            flow_lp = self._net.apply(
+                {"params": params}, t, ctx, onehot, k_feat,
+                method=MNLENet.flow_log_prob,
+            )
+            rt_term = slot_lp + flow_lp + log_det + barrier
+            not_censored = (choice != cfg.censored_category).astype(rt_term.dtype)
+            return cat_lp + not_censored * rt_term
+
         log_det = jnp.zeros_like(rt)
         t = rt
         if cfg.log_transform_x:
@@ -266,14 +375,6 @@ class MNLE:
             t = (t - self.x_mean) / self.x_std
             log_det = log_det - jnp.log(self.x_std)
 
-        onehot = jax.nn.one_hot(choice, cfg.num_categories)
-        ctx = self._net.apply(
-            {"params": params}, c, condition, method=MNLENet.make_context
-        )
-        logits = self._net.apply(
-            {"params": params}, ctx, method=MNLENet.choice_logits
-        )
-        cat_lp = jnp.take_along_axis(logits, choice[..., None], axis=-1)[..., 0]
         flow_lp = self._net.apply(
             {"params": params}, t, ctx, onehot, method=MNLENet.flow_log_prob
         )
@@ -301,6 +402,10 @@ class MNLE:
         choice = kernel or "auto"
         if choice == "auto":
             choice = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if choice == "pallas" and self.cfg.rt_rep == "pulse":
+            # The fused kernel does not carry the slot head / phase flow yet;
+            # silent fallback keeps "auto" correct on TPU.
+            choice = "xla"
         if choice == "pallas":
             from ..ops.mnle_pallas import make_fused_logprob
 
@@ -320,14 +425,28 @@ class MNLE:
         logits = self._net.apply({"params": params}, ctx, method=MNLENet.choice_logits)
         choice = jax.random.categorical(k_cat, logits, axis=-1)
         onehot = jax.nn.one_hot(choice, cfg.num_categories)
-        u = self._net.apply(
-            {"params": params}, k_flow, ctx, onehot, method=MNLENet.flow_sample
-        )
-        t = u
-        if cfg.z_score_x:
-            t = t * self.x_std + self.x_mean
-        if cfg.log_transform_x:
-            t = jnp.exp(t)
+        if cfg.rt_rep == "pulse":
+            k_slot, k_phi = jax.random.split(k_flow)
+            slot_all = self._net.apply(
+                {"params": params}, ctx, onehot, method=MNLENet.slot_logits
+            )
+            k = jax.random.categorical(k_slot, slot_all, axis=-1)
+            k_feat = ((k.astype(jnp.float32) + 0.5) / cfg.num_pulse_slots)[..., None]
+            u = self._net.apply(
+                {"params": params}, k_phi, ctx, onehot, k_feat,
+                method=MNLENet.flow_sample,
+            )
+            s = u * self.x_std + self.x_mean if cfg.z_score_x else u
+            t = pulse_grid_join(cfg, k, s, condition[..., cfg.tnd_index])
+        else:
+            u = self._net.apply(
+                {"params": params}, k_flow, ctx, onehot, method=MNLENet.flow_sample
+            )
+            t = u
+            if cfg.z_score_x:
+                t = t * self.x_std + self.x_mean
+            if cfg.log_transform_x:
+                t = jnp.exp(t)
         if cfg.censor_rt:
             from ..constants import T_MAX
 
@@ -348,6 +467,13 @@ def build_mnle(
     x_std=1.0,
 ) -> MNLE:
     """Initialize an untrained MNLE with given standardization stats."""
+    if cfg.rt_rep == "pulse" and not cfg.censor_rt:
+        raise ValueError(
+            "rt_rep='pulse' requires censor_rt=True: the censored atom is "
+            "handled by the choice head, not the RT grid"
+        )
+    if cfg.rt_rep not in ("log", "pulse"):
+        raise ValueError(f"unknown rt_rep {cfg.rt_rep!r}")
     net = MNLENet(cfg)
     u0 = jnp.zeros((1,), jnp.float32)
     c0 = jnp.zeros((1, cfg.condition_dim), jnp.float32)

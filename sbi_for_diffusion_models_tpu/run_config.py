@@ -84,6 +84,10 @@ class RunConfig:
     # P(choice | z) instead of a smoothed point-mass density. False = the
     # reference estimator's behavior.
     MNLE_CENSOR_RT: bool = False
+    # RT representation: "log" (reference-style flow over log RT) or "pulse"
+    # (physics-informed slot/phase factorization on the pulse grid; requires
+    # MNLE_CENSOR_RT). See nets/mnle_net.MNLEConfig.rt_rep.
+    MNLE_RT_REP: str = "log"
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4

@@ -211,6 +211,129 @@ def test_double_log_transform_rejected():
         train_mnle(cfg, None, jnp.zeros((20, 4)), jnp.ones((20, 2)))
 
 
+def test_pulse_grid_split_join_roundtrip():
+    """rt -> (k, s) -> rt must round-trip away from clip boundaries, with the
+    logit log-det matching autodiff."""
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import (
+        pulse_grid_join,
+        pulse_grid_split,
+    )
+
+    cfg = MNLEConfig(
+        condition_dim=9, rt_rep="pulse", censor_rt=True, num_pulse_slots=8,
+        pulse_interval=0.1, **SMALL,
+    )
+    t_nd = jnp.float32(0.23)
+    rt = jnp.array([0.2315, 0.3301, 0.5250, 0.9999, 1.0295], jnp.float32)
+    k, phi, s, ds, barrier = pulse_grid_split(cfg, rt, t_nd)
+    np.testing.assert_array_equal(np.asarray(k), [0, 1, 2, 7, 7])
+    assert float(jnp.abs(barrier).max()) == 0.0
+    back = pulse_grid_join(cfg, k, s, t_nd)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rt), atol=1e-5)
+    # log-det parity with autodiff of s(rt)
+    def s_of_rt(r):
+        return pulse_grid_split(cfg, r, t_nd)[2]
+    g = jax.vmap(jax.grad(s_of_rt))(rt)
+    np.testing.assert_allclose(np.asarray(ds), np.log(np.abs(np.asarray(g))),
+                               rtol=1e-4)
+    # barrier activates smoothly for rt <= t_nd
+    *_, b2 = pulse_grid_split(cfg, jnp.float32(0.2), t_nd)
+    assert float(b2) < 0.0
+
+
+def test_pulse_rep_log_prob_normalizes():
+    """The slot/phase factorization must integrate to 1 - P(censored) over rt
+    exactly (the logit phase transform has no support leak)."""
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="pulse", censor_rt=True,
+        num_pulse_slots=8, pulse_interval=0.1, **SMALL,
+    )
+    est = build_mnle(jax.random.key(21), cfg)
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.key(22), (4,)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses])
+    t_nd = float(theta[4])
+    # integrate per-slot in phase space (the density is spiky in rt)
+    phis = jnp.linspace(1e-4, 1.0 - 1e-4, 4000)
+    total = 0.0
+    for c in (0, 1):
+        for k in range(8):
+            rts = t_nd + (k + phis) * 0.1
+            x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+            lp = jax.jit(est.log_prob)(
+                x, jnp.broadcast_to(cond, (rts.shape[0], 9))
+            )
+            total += jnp.trapezoid(jnp.exp(lp), rts)
+    # categorical mass of the censored category
+    logits = est._net.apply(
+        {"params": est.params},
+        est._net.apply({"params": est.params},
+                       (cond - est.cond_mean) / est.cond_std, cond,
+                       method=est._net.make_context),
+        method=est._net.choice_logits,
+    )
+    p_cens = float(jnp.exp(logits[2]))
+    assert abs(float(total) + p_cens - 1.0) < 0.01, (
+        f"sum over non-censored = {float(total)}, P(cens) = {p_cens}"
+    )
+
+
+def test_pulse_rep_learns_atomic_rts():
+    """Training data with RTs atomic on the pulse grid (slot depending on a
+    pulse feature): the pulse rep must concentrate slot probability far more
+    sharply than chance."""
+    cfg = RUN_CONFIG_PARAMS.replace(
+        MNLE_RT_REP="pulse", MNLE_CENSOR_RT=True,
+        MNLE_HIDDEN_FEATURES=32, MNLE_NUM_TRANSFORMS=2, MNLE_NUM_BINS=8,
+        TRAIN_MAX_EPOCHS=80, TRAIN_LEARNING_RATE=2e-3, TRAIN_BATCH_SIZE=256,
+    )
+    key = jax.random.key(30)
+    N, P = 4000, 8
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+    from sbi_for_diffusion_models_tpu.proposals import (
+        ExtendedProposal,
+        PulseSequenceProposal,
+    )
+
+    prior = build_prior_theta()
+    prop = ExtendedProposal(prior, PulseSequenceProposal(P, 0.75))
+    z = prop.sample(jax.random.fold_in(key, 0), (N,))
+    # slot index driven by the first pulse sign; phase concentrated near 0.03
+    k_slot = jnp.where(z[:, 5] > 0, 2, 5)
+    phi = 0.02 + 0.02 * jax.random.uniform(jax.random.fold_in(key, 1), (N,))
+    rt = z[:, 4] + (k_slot + phi) * 0.1
+    choice = (jax.random.uniform(jax.random.fold_in(key, 2), (N,)) < 0.5)
+    x = jnp.stack([rt, choice.astype(jnp.float32)], -1)
+    est = train_mnle(cfg, prop, z, x, seed=3, verbose=False)
+    assert est.cfg.rt_rep == "pulse"
+    # slot head must put most mass on the correct slot per condition
+    cond = z[:7]
+    c_std = (cond - est.cond_mean) / est.cond_std
+    ctx = est._net.apply({"params": est.params}, c_std, cond,
+                         method=est._net.make_context)
+    oh = jax.nn.one_hot(jnp.asarray(x[:7, 1], jnp.int32), 3)
+    slot_lp = est._net.apply({"params": est.params}, ctx, oh,
+                             method=est._net.slot_logits)
+    k_hat = jnp.argmax(slot_lp, -1)
+    k_want = jnp.where(cond[:, 5] > 0, 2, 5)
+    assert int((k_hat == k_want).sum()) >= 6, (
+        f"slot head missed: {k_hat} vs {k_want}"
+    )
+    # samples respect the grid: phase of sampled rts near the data's phase
+    samp = est.sample(jax.random.key(31), jnp.broadcast_to(cond[0], (256, 85 - 80 + P + 0)))
+    samp_rt = samp[:, 0][samp[:, 1] != 2]
+    ph = ((samp_rt - cond[0, 4]) / 0.1) % 1.0
+    assert float(jnp.median(ph)) < 0.25
+
+
+def test_pulse_rep_requires_censoring():
+    cfg = MNLEConfig(condition_dim=9, rt_rep="pulse", censor_rt=False, **SMALL)
+    with pytest.raises(ValueError, match="censor_rt"):
+        build_mnle(jax.random.key(0), cfg)
+
+
 def test_num_categories_explicit_and_validated():
     """MNLE_NUM_CATEGORIES pins the category count (for variants whose rare
     categories may be missing from a finite training draw); data containing
