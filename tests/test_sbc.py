@@ -96,3 +96,28 @@ def test_run_sbc_batched_on_mesh(tiny_setup, tmp_path):
     )
     assert out["ranks"].shape == (2, 5)
     assert np.isfinite(out["all_samples"][0]).all()
+
+
+def test_run_sbc_batched_with_pulse_rep(tmp_path):
+    """End-to-end SBC with the pulse-grid RT representation: the potential,
+    NUTS gradients (through the barrier and logit phase), and rank stats must
+    all compose."""
+    prior = build_prior_theta()
+    est = build_mnle(
+        jax.random.key(5),
+        MNLEConfig(
+            condition_dim=85, hidden_features=16, num_transforms=2, num_bins=5,
+            rt_rep="pulse", censor_rt=True,
+        ),
+    )
+    cfg = RUN_CONFIG_PARAMS.replace(
+        NUM_TRIALS_OBS=5, NUM_CHAINS=2, WARMUP_STEPS=25,
+        SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=20, MCMC_MAX_TREE_DEPTH=6,
+        MNLE_RT_REP="pulse", MNLE_CENSOR_RT=True,
+    )
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
+    assert out["ranks"].shape == (2, 5)
+    s = out["all_samples"][0]
+    assert np.isfinite(s).all()
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
+    assert (s[:, 4] > 0).all() and (s[:, 4] < 1).all()
