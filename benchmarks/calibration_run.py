@@ -40,6 +40,9 @@ def main():
     p.add_argument("--outdir", type=str, default="artifacts/calibration")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--group-size", type=int, default=4)
+    p.add_argument("--method", type=str, default=None,
+                   choices=("nuts", "slice"), help="MCMC transition kernel")
+    p.add_argument("--target-accept", type=float, default=None)
     # Estimator capacity knobs (reference hard-codes 128/10/24, mnle.py:36-38).
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--transforms", type=int, default=None)
@@ -52,6 +55,8 @@ def main():
                    help="swap the raw pulse block for the embedding, or keep "
                         "it and append (append + --embed-dim 0 = physics "
                         "features alone)")
+    p.add_argument("--grid-anchor", type=str, default=None,
+                   choices=("absolute", "tnd"))
     p.add_argument("--rt-rep", type=str, default=None, choices=("log", "pulse"),
                    help="RT representation (pulse = slot/phase grid "
                         "factorization; implies --censor-rt)")
@@ -102,6 +107,10 @@ def main():
         # crashed under very large/deep NUTS launches (see CLAUDE.md).
         MCMC_MAX_TREE_DEPTH=8,
     )
+    if args.method:
+        cfg = cfg.replace(MCMC_METHOD=args.method)
+    if args.target_accept is not None:
+        cfg = cfg.replace(MCMC_TARGET_ACCEPT=args.target_accept)
     arch = {
         "MNLE_HIDDEN_FEATURES": args.hidden,
         "MNLE_NUM_TRANSFORMS": args.transforms,
@@ -113,6 +122,8 @@ def main():
     cfg = cfg.replace(**{k: v for k, v in arch.items() if v is not None})
     if args.rt_rep:
         cfg = cfg.replace(MNLE_RT_REP=args.rt_rep)
+    if args.grid_anchor:
+        cfg = cfg.replace(MNLE_GRID_ANCHOR=args.grid_anchor)
     if args.censor_rt or args.rt_rep == "pulse":
         cfg = cfg.replace(MNLE_CENSOR_RT=True)
     prior = build_prior_theta()

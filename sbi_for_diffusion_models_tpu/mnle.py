@@ -138,6 +138,7 @@ def train_mnle(
         embed_mode=cfg.MNLE_EMBED_MODE,
         censor_rt=cfg.MNLE_CENSOR_RT,
         rt_rep=cfg.MNLE_RT_REP,
+        grid_anchor=cfg.MNLE_GRID_ANCHOR,
     )
 
     # Standardization stats ("independent" z-scoring, reference mnle.py:34-35).

@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spline import num_spline_params, rq_spline_forward, rq_spline_inverse
+from .spline import (
+    num_circular_spline_params,
+    num_spline_params,
+    rq_spline_circular,
+    rq_spline_forward,
+    rq_spline_inverse,
+)
 
 __all__ = ["MNLEConfig", "MNLENet", "MNLE", "build_mnle"]
 
@@ -100,9 +106,42 @@ class MNLEConfig:
     pulse_interval: float = 0.1
     euler_dt: float = 5e-4
     tnd_index: int = 4
+    # Grid anchor for rt_rep="pulse".
+    #
+    # "tnd": slots anchored at the trial's own t_nd — the atom sits at a
+    # fixed small phase, but k(theta) jumps at slot boundaries as t_nd
+    # varies, making the POTENTIAL discontinuous in theta (NUTS divergence
+    # storms observed).
+    #
+    # "absolute": slots anchored at 0 — k = floor(rt/Delta) and the phase
+    # phi = frac(rt/Delta) are theta-independent, so the potential is smooth
+    # in theta; the atom's phase location (= frac(t_nd/Delta) + jitter) is
+    # predicted by the conditioner, and the phase flow is a chain of
+    # CIRCULAR RQ splines (uniform base) so the peak can sit anywhere on
+    # the circle, including the wrap point.
+    grid_anchor: str = "absolute"
 
 
 def pulse_grid_split(cfg: "MNLEConfig", rt, t_nd):
+    if cfg.grid_anchor == "absolute":
+        delta = cfg.pulse_interval
+        # NO barrier here: a theta-dependent hard truncation without
+        # renormalization would bias the likelihood (the removed mass varies
+        # with t_nd). The absolute rep instead lets the conditioner learn
+        # near-zero mass below t_nd; the tnd-anchored rep encodes the
+        # constraint structurally (its grid starts at t_nd).
+        barrier = jnp.zeros_like(rt)
+        u = jnp.clip(rt, cfg.euler_dt, None) / delta
+        k = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cfg.num_pulse_slots - 1)
+        phi = jnp.clip(u - k.astype(u.dtype), 1e-6, 1.0 - 1e-6)
+        # s IS the phase (the circular flow consumes it directly);
+        # |d phi / d rt| = 1/delta.
+        ds = jnp.broadcast_to(-jnp.log(delta), phi.shape)
+        return k, phi, phi, ds, barrier
+    return _pulse_grid_split_tnd(cfg, rt, t_nd)
+
+
+def _pulse_grid_split_tnd(cfg: "MNLEConfig", rt, t_nd):
     """rt -> (k, phi, s, log|ds/drt|, barrier) for the "pulse" RT rep.
 
     k = floor((rt - t_nd)/Delta) clipped to [0, K-1]; phi in (0,1) is the
@@ -128,8 +167,27 @@ def pulse_grid_split(cfg: "MNLEConfig", rt, t_nd):
 
 def pulse_grid_join(cfg: "MNLEConfig", k, s, t_nd):
     """Inverse of :func:`pulse_grid_split` for sampling: (k, s) -> rt."""
+    if cfg.grid_anchor == "absolute":
+        phi = jnp.clip(s, 1e-6, 1.0 - 1e-6)
+        return (k.astype(s.dtype) + phi) * cfg.pulse_interval
     phi = jnp.clip(jax.nn.sigmoid(s), 1e-6, 1.0 - 1e-6)
     return t_nd + (k.astype(s.dtype) + phi) * cfg.pulse_interval
+
+
+def _slot_features(cfg: "MNLEConfig", k, t_nd, dtype):
+    """Flow-head conditioning for the pulse rep: normalized slot index,
+    plus (absolute anchor) sin/cos of t_nd's grid phase — the atom's
+    expected phase location, handed to the conditioner so the circular flow
+    only has to learn the residual jitter shape, not the phase-tracking
+    itself."""
+    k_norm = ((k.astype(dtype) + 0.5) / cfg.num_pulse_slots)[..., None]
+    if cfg.grid_anchor != "absolute":
+        return k_norm
+    tp = (t_nd / cfg.pulse_interval) % 1.0
+    ang = 2.0 * jnp.pi * tp
+    return jnp.concatenate(
+        [k_norm, jnp.sin(ang)[..., None], jnp.cos(ang)[..., None]], axis=-1
+    )
 
 
 # Horizon times (seconds) for the leak-decayed pulse-evidence summaries.
@@ -199,12 +257,14 @@ class MNLENet(nn.Module):
         self.flow_trunk = _MLP(
             cfg.hidden_features, cfg.hidden_features, depth=cfg.trunk_depth
         )
+        circular = cfg.rt_rep == "pulse" and cfg.grid_anchor == "absolute"
+        head_params = (
+            num_circular_spline_params(cfg.num_bins)
+            if circular
+            else num_spline_params(cfg.num_bins)
+        )
         self.flow_heads = [
-            nn.Dense(
-                num_spline_params(cfg.num_bins),
-                name=f"spline_head_{i}",
-                precision=_PRECISION,
-            )
+            nn.Dense(head_params, name=f"spline_head_{i}", precision=_PRECISION)
             for i in range(cfg.num_transforms)
         ]
         if cfg.embed_dim > 0 and cfg.pulse_dim > 0:
@@ -264,6 +324,13 @@ class MNLENet(nn.Module):
         params = self._spline_params(c, choice_onehot, k_feat)
         log_det = jnp.zeros_like(u)
         z = u
+        if self.cfg.rt_rep == "pulse" and self.cfg.grid_anchor == "absolute":
+            # Circular phase flow: uniform base on [0,1), periodic-continuous
+            # density — the atom's phase can live anywhere on the circle.
+            for p in params:
+                z, ld = rq_spline_circular(z, p, num_bins=self.cfg.num_bins)
+                log_det = log_det + ld
+            return log_det  # log uniform(z) = 0
         for p in params:  # normalizing direction: data -> base
             z, ld = rq_spline_forward(
                 z, p, num_bins=self.cfg.num_bins, tail_bound=self.cfg.tail_bound
@@ -275,6 +342,13 @@ class MNLENet(nn.Module):
     def flow_sample(self, key, c, choice_onehot, k_feat=None):
         """Draw u ~ p(u | c, choice); c/choice_onehot shaped (..., d)."""
         params = self._spline_params(c, choice_onehot, k_feat)
+        if self.cfg.rt_rep == "pulse" and self.cfg.grid_anchor == "absolute":
+            z = jax.random.uniform(key, c.shape[:-1])
+            for p in reversed(params):
+                z, _ = rq_spline_circular(
+                    z, p, num_bins=self.cfg.num_bins, inverse=True
+                )
+            return z
         z = jax.random.normal(key, c.shape[:-1])
         for p in reversed(params):  # generative direction: base -> data
             z, _ = rq_spline_inverse(
@@ -286,7 +360,8 @@ class MNLENet(nn.Module):
         """Used only for init: touch all submodules."""
         ctx = self.make_context(c_std, c_raw)
         if self.cfg.rt_rep == "pulse":
-            k_feat = jnp.zeros(u.shape + (1,), u.dtype)
+            n_kf = 3 if self.cfg.grid_anchor == "absolute" else 1
+            k_feat = jnp.zeros(u.shape + (n_kf,), u.dtype)
             return (
                 self.choice_logits(ctx),
                 self.slot_logits(ctx, choice_onehot),
@@ -349,14 +424,14 @@ class MNLE:
             t_nd = condition[..., cfg.tnd_index]
             k, _, s, ds, barrier = pulse_grid_split(cfg, rt, t_nd)
             t, log_det = s, ds
-            if cfg.z_score_x:
+            if cfg.z_score_x and cfg.grid_anchor != "absolute":
                 t = (t - self.x_mean) / self.x_std
                 log_det = log_det - jnp.log(self.x_std)
             slot_all = self._net.apply(
                 {"params": params}, ctx, onehot, method=MNLENet.slot_logits
             )
             slot_lp = jnp.take_along_axis(slot_all, k[..., None], axis=-1)[..., 0]
-            k_feat = ((k.astype(t.dtype) + 0.5) / cfg.num_pulse_slots)[..., None]
+            k_feat = _slot_features(cfg, k, t_nd, t.dtype)
             flow_lp = self._net.apply(
                 {"params": params}, t, ctx, onehot, k_feat,
                 method=MNLENet.flow_log_prob,
@@ -431,13 +506,16 @@ class MNLE:
                 {"params": params}, ctx, onehot, method=MNLENet.slot_logits
             )
             k = jax.random.categorical(k_slot, slot_all, axis=-1)
-            k_feat = ((k.astype(jnp.float32) + 0.5) / cfg.num_pulse_slots)[..., None]
+            k_feat = _slot_features(
+                cfg, k, condition[..., cfg.tnd_index], jnp.float32
+            )
             u = self._net.apply(
                 {"params": params}, k_phi, ctx, onehot, k_feat,
                 method=MNLENet.flow_sample,
             )
-            s = u * self.x_std + self.x_mean if cfg.z_score_x else u
-            t = pulse_grid_join(cfg, k, s, condition[..., cfg.tnd_index])
+            if cfg.z_score_x and cfg.grid_anchor != "absolute":
+                u = u * self.x_std + self.x_mean
+            t = pulse_grid_join(cfg, k, u, condition[..., cfg.tnd_index])
         else:
             u = self._net.apply(
                 {"params": params}, k_flow, ctx, onehot, method=MNLENet.flow_sample

@@ -88,6 +88,10 @@ class RunConfig:
     # (physics-informed slot/phase factorization on the pulse grid; requires
     # MNLE_CENSOR_RT). See nets/mnle_net.MNLEConfig.rt_rep.
     MNLE_RT_REP: str = "log"
+    # Grid anchor for the pulse rep: "absolute" (theta-independent slots +
+    # circular phase flow; smooth potential) or "tnd" (slots anchored at the
+    # trial's t_nd; exact atom pinning but a discontinuous potential).
+    MNLE_GRID_ANCHOR: str = "absolute"
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4

@@ -221,12 +221,22 @@ def test_pulse_grid_split_join_roundtrip():
 
     cfg = MNLEConfig(
         condition_dim=9, rt_rep="pulse", censor_rt=True, num_pulse_slots=8,
-        pulse_interval=0.1, **SMALL,
+        pulse_interval=0.1, grid_anchor="tnd", **SMALL,
     )
     t_nd = jnp.float32(0.23)
     rt = jnp.array([0.2315, 0.3301, 0.5250, 0.9999, 1.0295], jnp.float32)
     k, phi, s, ds, barrier = pulse_grid_split(cfg, rt, t_nd)
     np.testing.assert_array_equal(np.asarray(k), [0, 1, 2, 7, 7])
+    # absolute anchor: slots counted from 0, phase is the raw fraction
+    cfg_abs = MNLEConfig(
+        condition_dim=9, rt_rep="pulse", censor_rt=True, num_pulse_slots=16,
+        pulse_interval=0.1, grid_anchor="absolute", **SMALL,
+    )
+    ka, phia, sa, dsa, _ = pulse_grid_split(cfg_abs, rt, t_nd)
+    np.testing.assert_array_equal(np.asarray(ka), [2, 3, 5, 9, 10])
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(phia))
+    backa = pulse_grid_join(cfg_abs, ka, sa, t_nd)
+    np.testing.assert_allclose(np.asarray(backa), np.asarray(rt), atol=1e-5)
     assert float(jnp.abs(barrier).max()) == 0.0
     back = pulse_grid_join(cfg, k, s, t_nd)
     np.testing.assert_allclose(np.asarray(back), np.asarray(rt), atol=1e-5)
@@ -241,12 +251,13 @@ def test_pulse_grid_split_join_roundtrip():
     assert float(b2) < 0.0
 
 
-def test_pulse_rep_log_prob_normalizes():
+@pytest.mark.parametrize("anchor", ["tnd", "absolute"])
+def test_pulse_rep_log_prob_normalizes(anchor):
     """The slot/phase factorization must integrate to 1 - P(censored) over rt
-    exactly (the logit phase transform has no support leak)."""
+    exactly (neither phase transform has support leak)."""
     cfg = MNLEConfig(
         condition_dim=9, num_categories=3, rt_rep="pulse", censor_rt=True,
-        num_pulse_slots=8, pulse_interval=0.1, **SMALL,
+        num_pulse_slots=8, pulse_interval=0.1, grid_anchor=anchor, **SMALL,
     )
     est = build_mnle(jax.random.key(21), cfg)
     theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
@@ -254,7 +265,7 @@ def test_pulse_rep_log_prob_normalizes():
         jax.random.uniform(jax.random.key(22), (4,)) < 0.5, 1.0, -1.0
     )
     cond = jnp.concatenate([theta, pulses])
-    t_nd = float(theta[4])
+    t_nd = float(theta[4]) if anchor == "tnd" else 0.0
     # integrate per-slot in phase space (the density is spiky in rt)
     phis = jnp.linspace(1e-4, 1.0 - 1e-4, 4000)
     total = 0.0
@@ -317,10 +328,14 @@ def test_pulse_rep_learns_atomic_rts():
     slot_lp = est._net.apply({"params": est.params}, ctx, oh,
                              method=est._net.slot_logits)
     k_hat = jnp.argmax(slot_lp, -1)
-    k_want = jnp.where(cond[:, 5] > 0, 2, 5)
-    assert int((k_hat == k_want).sum()) >= 6, (
+    # default anchor is absolute: expected slot = floor(rt / Delta) per row.
+    # Atoms near a slot boundary legitimately split mass across the two
+    # adjacent slots, so allow off-by-one with a majority exactly right.
+    k_want = jnp.floor(x[:7, 0] / 0.1).astype(jnp.int32)
+    assert int((jnp.abs(k_hat - k_want) <= 1).sum()) == 7, (
         f"slot head missed: {k_hat} vs {k_want}"
     )
+    assert int((k_hat == k_want).sum()) >= 4
     # samples respect the grid: phase of sampled rts near the data's phase
     samp = est.sample(jax.random.key(31), jnp.broadcast_to(cond[0], (256, 85 - 80 + P + 0)))
     samp_rt = samp[:, 0][samp[:, 1] != 2]
