@@ -477,9 +477,14 @@ class MNLE:
         choice = kernel or "auto"
         if choice == "auto":
             choice = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if choice == "pallas" and self.cfg.rt_rep == "pulse":
-            # The fused kernel does not carry the slot head / phase flow yet;
-            # silent fallback keeps "auto" correct on TPU.
+        if (
+            choice == "pallas"
+            and self.cfg.rt_rep == "pulse"
+            and self.cfg.grid_anchor != "absolute"
+        ):
+            # The fused kernel carries the slot head + circular phase flow
+            # only for the absolute anchor; the (deprecated) tnd anchor
+            # falls back to XLA so "auto" stays correct on TPU.
             choice = "xla"
         if choice == "pallas":
             from ..ops.mnle_pallas import make_fused_logprob

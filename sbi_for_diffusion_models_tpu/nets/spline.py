@@ -18,7 +18,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rq_spline_forward", "rq_spline_inverse", "num_spline_params"]
+__all__ = [
+    "num_circular_spline_params",
+    "num_spline_params",
+    "rq_spline_circular",
+    "rq_spline_forward",
+    "rq_spline_inverse",
+]
 
 DEFAULT_MIN_BIN_WIDTH = 1e-3
 DEFAULT_MIN_BIN_HEIGHT = 1e-3
@@ -225,7 +231,8 @@ def num_circular_spline_params(num_bins: int) -> int:
     return 3 * num_bins + 1
 
 
-def _prepare_circular_knots(params: jnp.ndarray, num_bins: int):
+def _prepare_circular_knots(params: jnp.ndarray, num_bins: int,
+                            safe_ops: bool = False):
     K = num_bins
     w_raw = params[..., :K]
     h_raw = params[..., K : 2 * K]
@@ -238,13 +245,26 @@ def _prepare_circular_knots(params: jnp.ndarray, num_bins: int):
 
     widths = min_w + (1.0 - min_w * K) * jax.nn.softmax(w_raw, axis=-1)
     heights = min_h + (1.0 - min_h * K) * jax.nn.softmax(h_raw, axis=-1)
-    cum_w = jnp.cumsum(widths, axis=-1)
-    cum_h = jnp.cumsum(heights, axis=-1)
-    zeros = jnp.zeros_like(cum_w[..., :1])
-    x_knots = jnp.concatenate([zeros, cum_w], axis=-1)
-    y_knots = jnp.concatenate([zeros, cum_h], axis=-1)
-    x_knots = x_knots.at[..., -1].set(1.0)
-    y_knots = y_knots.at[..., -1].set(1.0)
+    if safe_ops:
+        # Pallas-lowerable: cumsum as triangular matmul at HIGHEST precision,
+        # endpoint pin by construction (see _prepare_knots).
+        tri = jnp.triu(jnp.ones((K, K), widths.dtype))
+        cum_w = jnp.dot(widths, tri, preferred_element_type=widths.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        cum_h = jnp.dot(heights, tri, preferred_element_type=heights.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        zeros = jnp.zeros_like(cum_w[..., :1])
+        ones = jnp.ones_like(cum_w[..., :1])
+        x_knots = jnp.concatenate([zeros, cum_w[..., : K - 1], ones], -1)
+        y_knots = jnp.concatenate([zeros, cum_h[..., : K - 1], ones], -1)
+    else:
+        cum_w = jnp.cumsum(widths, axis=-1)
+        cum_h = jnp.cumsum(heights, axis=-1)
+        zeros = jnp.zeros_like(cum_w[..., :1])
+        x_knots = jnp.concatenate([zeros, cum_w], axis=-1)
+        y_knots = jnp.concatenate([zeros, cum_h], axis=-1)
+        x_knots = x_knots.at[..., -1].set(1.0)
+        y_knots = y_knots.at[..., -1].set(1.0)
 
     d_inner = min_d + jax.nn.softplus(d_raw)  # (..., K): d_0 .. d_{K-1}
     derivs = jnp.concatenate([d_inner, d_inner[..., :1]], axis=-1)  # d_K = d_0
@@ -258,15 +278,19 @@ def rq_spline_circular(
     *,
     num_bins: int,
     inverse: bool = False,
+    use_gather: bool = True,
 ):
     """Circular RQ spline on [0,1): phi -> (out, log_det).
 
     Forward (normalizing): out = f(frac(phi - rot)). Inverse (generative):
     out = frac(f^{-1}(phi) + rot). Rotation is measure-preserving; the
     spline itself has f(0)=0, f(1)=1 with matching endpoint derivatives, so
-    the density is continuous across the wrap point.
+    the density is continuous across the wrap point. ``use_gather=False``
+    switches to Pallas-lowerable knot math (same values).
     """
-    x_knots, y_knots, derivs, rot = _prepare_circular_knots(params, num_bins)
+    x_knots, y_knots, derivs, rot = _prepare_circular_knots(
+        params, num_bins, safe_ops=not use_gather
+    )
 
     if inverse:
         z = jnp.clip(phi, 0.0, 1.0 - 1e-6)
@@ -276,7 +300,7 @@ def rq_spline_circular(
 
     bin_knots = y_knots if inverse else x_knots
     k = _searchsorted(bin_knots, z)
-    take = _take_gather
+    take = _take_gather if use_gather else _take_onehot
 
     x_k, x_k1 = take(x_knots, k), take(x_knots, k + 1)
     y_k, y_k1 = take(y_knots, k), take(y_knots, k + 1)
