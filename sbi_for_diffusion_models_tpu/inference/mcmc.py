@@ -48,6 +48,7 @@ class MCMCPosterior:
         auto_fallback: bool = True,
         fallback_divergence_rate: float = 0.10,
         fallback_r_hat: float = 1.5,
+        mode_hop=None,
     ):
         if method not in ("nuts", "nuts_pyro", "hmc", "slice", "slice_np_vectorized"):
             raise ValueError(f"unknown MCMC method {method!r}")
@@ -76,6 +77,7 @@ class MCMCPosterior:
         # slice_np_vectorized): trigger on divergence storms or failed
         # mixing (split R-hat), both signs of adaptation failure on stiff
         # learned-likelihood geometry.
+        self.mode_hop = mode_hop
         self.auto_fallback = bool(auto_fallback)
         self.fallback_divergence_rate = float(fallback_divergence_rate)
         self.fallback_r_hat = float(fallback_r_hat)
@@ -163,6 +165,7 @@ class MCMCPosterior:
                     num_warmup=self.warmup_steps,
                     num_samples=per_chain,
                     thin=self.thin,
+                    mode_hop=self.mode_hop,
                 )
         else:
             samples_u, info = run_slice(
@@ -172,6 +175,7 @@ class MCMCPosterior:
                 num_warmup=self.warmup_steps,
                 num_samples=per_chain,
                 thin=self.thin,
+                mode_hop=self.mode_hop,
             )
         self._last_info = info
 
@@ -197,3 +201,48 @@ class MCMCPosterior:
     @property
     def last_info(self) -> Optional[dict]:
         return self._last_info
+
+
+def make_grid_hop(bij, index: int, delta: float, multiples=(-2, -1, 1, 2)):
+    """Metropolis mode-hop for KNOWN periodic posterior structure.
+
+    The pulse-DDM posterior is near-periodically multimodal in t_nd: shifting
+    t_nd by one pulse interval Delta while re-attributing every trial's hit
+    to the adjacent pulse leaves the likelihood almost unchanged (the RT
+    grid rt = t_nd + k*Delta aliases), so trajectory-based samplers get
+    stuck in one t_nd mode (observed: split-R-hat up to ~300 with ZERO
+    divergences). This move proposes theta' = theta with theta[index]
+    shifted by m*Delta (m drawn uniformly from symmetric ``multiples``) and
+    accepts with the exact posterior ratio — a valid MH kernel in theta
+    space (the proposal is symmetric there, so bijector terms cancel except
+    through the evaluated densities; see run_nuts ``mode_hop``).
+
+    Returns ``hop(key, u, logp, g, vg_fn) -> (u, logp, g)`` operating on the
+    UNCONSTRAINED state used by run_nuts/run_slice: logp/g are u-space
+    values including the bijector log-det, so the theta-space ratio is
+    recovered by subtracting ``bij.forward_log_det`` on both sides.
+    Out-of-support proposals are rejected exactly (target density zero).
+    """
+    delta = float(delta)
+    mults = jnp.asarray(multiples, jnp.float32)
+
+    def hop(key, u, logp, g, vg_fn):
+        k_m, k_a = jax.random.split(key)
+        m = mults[jax.random.randint(k_m, (), 0, mults.shape[0])]
+        theta = bij.forward(u)
+        theta_new = theta.at[index].add(m * delta)
+        # Support guard: Beta-supported t_nd lives in (0, 1).
+        valid = (theta_new[index] > 1e-6) & (theta_new[index] < 1.0 - 1e-6)
+        theta_safe = jnp.where(valid, theta_new, theta)
+        u_prop = bij.inverse(theta_safe)
+        logp_prop, g_prop = vg_fn(u_prop)
+        log_ratio = (logp_prop - bij.forward_log_det(u_prop)) - (
+            logp - bij.forward_log_det(u)
+        )
+        accept = valid & (
+            jnp.log(jax.random.uniform(k_a)) < jnp.minimum(log_ratio, 0.0)
+        )
+        pick = lambda a, b: jnp.where(accept, a, b)
+        return pick(u_prop, u), pick(logp_prop, logp), jax.tree.map(pick, g_prop, g)
+
+    return hop

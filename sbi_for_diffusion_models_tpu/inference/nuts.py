@@ -488,6 +488,7 @@ def run_nuts(
     checkpoint_dir: str | None = None,
     device_retries: int = 2,
     mirror_every: int | None = None,
+    mode_hop=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run NUTS: warmup with step-size + diagonal-mass adaptation, then
     sampling. ``init_u``: (num_chains, D). Returns
@@ -514,6 +515,13 @@ def run_nuts(
     (``device_retries`` attempts). With ``checkpoint_dir`` the mirror is also
     persisted to disk and a fresh process resumes at the first incomplete
     segment (segment keys are derived deterministically from ``key``).
+
+    ``mode_hop``: optional Metropolis move ``hop(key, u, logp, g, vg_fn) ->
+    (u, logp, g)`` run after every NUTS transition — the escape hatch for
+    KNOWN multimodal structure that trajectory-based samplers cannot cross
+    (e.g. the pulse-grid posterior's near-periodic t_nd modes,
+    inference/mcmc.make_grid_hop). Must preserve the target distribution
+    (its own MH correction); adaptation statistics are taken after the hop.
     """
     num_chains, D = init_u.shape
     keys = jax.random.split(key, num_chains)
@@ -567,6 +575,10 @@ def run_nuts(
                 one, (st.u, st.logp, st.g), jax.random.split(k, thin)
             )
             info = jax.tree.map(lambda a: a[-1], infos)
+            if mode_hop is not None:
+                u, logp, g = mode_hop(
+                    jax.random.fold_in(k, 0x9E37), u, logp, g, vg_fn
+                )
 
             da_new = _da_update(st.da, info["accept_prob"], target_accept)
             da = jax.tree.map(
@@ -628,7 +640,8 @@ def run_nuts(
 
     run_fingerprint = _hashlib.sha256(
         keys_host.tobytes()
-        + f"L={L}/W={W}/S={num_samples}/thin={thin}/depth={max_depth}".encode()
+        + f"L={L}/W={W}/S={num_samples}/thin={thin}/depth={max_depth}"
+          f"/hop={mode_hop is not None}".encode()
     ).hexdigest()[:16]
 
     ckpt_file = None

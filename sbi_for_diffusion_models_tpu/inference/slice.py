@@ -101,6 +101,7 @@ def run_slice(
     thin: int = 1,
     data=None,
     adapt_width: bool = True,
+    mode_hop=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the vectorized slice sampler.
 
@@ -113,6 +114,9 @@ def run_slice(
     ``accept_prob`` (fraction of coordinate updates whose shrinkage found an
     in-slice point, (num_chains, num_samples)) and ``width`` (final adapted
     per-coordinate widths, (num_chains, D)).
+
+    ``mode_hop``: optional Metropolis move ``hop(key, u, logp, g, vg_fn) ->
+    (u, logp, g)`` applied after every sweep (see run_nuts).
     """
     num_chains, D = init_u.shape
 
@@ -141,9 +145,18 @@ def run_slice(
             )
             return x, w, n_acc / D
 
+        def _hop_apply(key, x):
+            if mode_hop is None:
+                return x
+            vg = jax.value_and_grad(lp_fn)
+            logp0, g0 = vg(x)
+            x, _, _ = mode_hop(jax.random.fold_in(key, 0x9E37), x, logp0, g0, vg)
+            return x
+
         def warm_step(carry, k):
             x, w = carry
             x, w, _ = sweep(k, x, w, jnp.bool_(adapt_width))
+            x = _hop_apply(k, x)
             return (x, w), None
 
         def samp_step(carry, k):
@@ -152,6 +165,7 @@ def run_slice(
             def inner(carry, kk):
                 x, w = carry
                 x, w, acc = sweep(kk, x, w, jnp.bool_(False))
+                x = _hop_apply(kk, x)
                 return (x, w), acc
 
             (x, w), accs = lax.scan(inner, (x, w), jax.random.split(k, thin))

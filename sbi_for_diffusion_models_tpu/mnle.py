@@ -395,6 +395,14 @@ def run_inference_mcmc(
         temperature=cfg.TEMPERATURE,
     )
     bij = mcmc_transform(prior_theta)
+    mode_hop = None
+    if cfg.MCMC_GRID_HOP:
+        from .constants import PULSE_INTERVAL
+        from .inference.mcmc import make_grid_hop
+
+        # t_nd (theta[4]) is identifiable only up to pulse-grid aliasing;
+        # hop between the near-periodic modes (see make_grid_hop).
+        mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
     posterior = MCMCPosterior(
         potential_fn=potential,
         proposal=prior_theta,
@@ -406,6 +414,7 @@ def run_inference_mcmc(
         max_tree_depth=cfg.MCMC_MAX_TREE_DEPTH,
         target_accept=cfg.MCMC_TARGET_ACCEPT,
         verbose=verbose,
+        mode_hop=mode_hop,
     )
     samples = posterior.sample(
         (cfg.POSTERIOR_SAMPLES,), x=x_o, key=as_key(seed)
@@ -520,6 +529,12 @@ def _run_sbc_batched(
 
     temperature = cfg.TEMPERATURE
     lp_fn = est.dispatch_log_prob(cfg.MNLE_LOGPROB_KERNEL)
+    mode_hop = None
+    if cfg.MCMC_GRID_HOP:
+        from .constants import PULSE_INTERVAL
+        from .inference.mcmc import make_grid_hop
+
+        mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
 
     def logp(u, data):
         x_o, s_o = data
@@ -601,6 +616,7 @@ def _run_sbc_batched(
                 num_samples=per_chain,
                 thin=cfg.MCMC_THIN,
                 data=data,
+                mode_hop=mode_hop,
             )
         else:
             samples_u, info = run_nuts(
@@ -613,6 +629,7 @@ def _run_sbc_batched(
                 target_accept=cfg.MCMC_TARGET_ACCEPT,
                 thin=cfg.MCMC_THIN,
                 data=data,
+                mode_hop=mode_hop,
                 checkpoint_dir=(
                     str(outdir / "nuts_ckpt" / f"group_{g}")
                 ),

@@ -104,6 +104,11 @@ class RunConfig:
     MCMC_MAX_TREE_DEPTH: int = 10
     MCMC_TARGET_ACCEPT: float = 0.8
     MCMC_THIN: int = 1
+    # Pulse-grid mode hop: the true pulse-DDM posterior is near-periodically
+    # multimodal in t_nd (RT grid aliasing, period = PULSE_INTERVAL); this
+    # enables a Metropolis shift move between the modes inside NUTS/slice
+    # (inference/mcmc.make_grid_hop). Valid MCMC; strictly improves mixing.
+    MCMC_GRID_HOP: bool = True
 
     # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
     # (pure XLA), or "pallas" (fused TPU kernel).

@@ -249,3 +249,62 @@ def test_mcmc_posterior_respects_support_and_shape(method):
     assert abs(s[:, 0].mean() - 0.5) < 0.06
     ref = float(np.exp(0.5 * 0.25))  # LogNormal mean e^{sigma^2/2}
     assert abs(s[:, 1].mean() - ref) < 0.25
+
+
+def test_grid_hop_mixes_periodic_modes():
+    """A narrow two-mode target with modes exactly one grid period apart:
+    NUTS alone stays in the starting mode; with make_grid_hop the chain
+    recovers the true mode weights (the pulse-DDM t_nd aliasing scenario)."""
+    from sbi_for_diffusion_models_tpu.inference.mcmc import make_grid_hop
+    from sbi_for_diffusion_models_tpu.inference.nuts import run_nuts
+
+    prior = MultipleIndependent([Beta(2.0, 2.0)])
+    bij = mcmc_transform(prior)
+    w2, mu1, mu2, sig = 0.7, 0.30, 0.40, 0.004
+
+    def logp_u(u):
+        th = bij.forward(u)[..., 0]
+        lp1 = jnp.log(1 - w2) - 0.5 * ((th - mu1) / sig) ** 2
+        lp2 = jnp.log(w2) - 0.5 * ((th - mu2) / sig) ** 2
+        return jnp.logaddexp(lp1, lp2) + bij.forward_log_det(u)
+
+    init = bij.inverse(jnp.full((4, 1), mu1))  # all chains in the SMALL mode
+
+    s0, _ = run_nuts(jax.random.key(50), logp_u, init,
+                     num_warmup=200, num_samples=400, max_depth=6)
+    th0 = np.asarray(bij.forward(s0))[..., 0].ravel()
+    frac0 = float((th0 > 0.35).mean())
+    assert frac0 < 0.05, f"NUTS unexpectedly crossed on its own: {frac0}"
+
+    hop = make_grid_hop(bij, index=0, delta=0.1)
+    s1, _ = run_nuts(jax.random.key(50), logp_u, init,
+                     num_warmup=200, num_samples=400, max_depth=6,
+                     mode_hop=hop)
+    th1 = np.asarray(bij.forward(s1))[..., 0].ravel()
+    frac1 = float((th1 > 0.35).mean())
+    assert abs(frac1 - w2) < 0.12, f"hop did not recover mode weights: {frac1}"
+    # out-of-support proposals were rejected, support respected
+    assert (th1 > 0).all() and (th1 < 1).all()
+
+
+def test_grid_hop_in_slice():
+    from sbi_for_diffusion_models_tpu.inference.mcmc import make_grid_hop
+    from sbi_for_diffusion_models_tpu.inference.slice import run_slice
+
+    prior = MultipleIndependent([Beta(2.0, 2.0)])
+    bij = mcmc_transform(prior)
+    w2, mu1, mu2, sig = 0.6, 0.25, 0.35, 0.004
+
+    def logp_u(u):
+        th = bij.forward(u)[..., 0]
+        lp1 = jnp.log(1 - w2) - 0.5 * ((th - mu1) / sig) ** 2
+        lp2 = jnp.log(w2) - 0.5 * ((th - mu2) / sig) ** 2
+        return jnp.logaddexp(lp1, lp2) + bij.forward_log_det(u)
+
+    init = bij.inverse(jnp.full((4, 1), mu1))
+    hop = make_grid_hop(bij, index=0, delta=0.1)
+    s, _ = run_slice(jax.random.key(51), logp_u, init,
+                     num_warmup=150, num_samples=400, mode_hop=hop)
+    th = np.asarray(bij.forward(s))[..., 0].ravel()
+    frac = float((th > 0.30).mean())
+    assert abs(frac - w2) < 0.15, f"slice+hop mode weights off: {frac}"
