@@ -158,9 +158,11 @@ def _rows_logp_pulse(phi, oh, ctx, kf, kv, weights, *, n_layers,
     head_W, head_b = weights[4 * n_layers + 2], weights[4 * n_layers + 3]
 
     slot_logits = jax.nn.log_softmax(_dense(emb, slot_W, slot_b), axis=-1)
-    iota = jax.lax.broadcasted_iota(jnp.float32, slot_logits.shape, 1)
+    # Integer iota (Mosaic rejects float iota results); kv arrives as float.
+    iota = jax.lax.broadcasted_iota(jnp.int32, slot_logits.shape, 1)
     slot_lp = jnp.sum(
-        jnp.where(iota == kv[:, None], slot_logits, 0.0), axis=-1
+        jnp.where(iota == kv[:, None].astype(jnp.int32), slot_logits, 0.0),
+        axis=-1,
     )
 
     sp = _dense(jnp.concatenate([emb, kf], axis=-1), head_W, head_b)
