@@ -114,14 +114,18 @@ def main():
     rows.append(run_one("r1-baseline", chains=8, seg_len=50, mirror=1, kernel="xla"))
     if not args.quick:
         rows.append(run_one("mirror8", chains=8, seg_len=50, mirror=8, kernel="xla"))
-        rows.append(run_one("seg225", chains=8, seg_len=225, mirror=8, kernel="xla"))
-        rows.append(run_one("c32", chains=32, seg_len=225, mirror=8, kernel="xla"))
-        rows.append(run_one("c128", chains=128, seg_len=225, mirror=8, kernel="xla"))
+        # Launch sizes bounded: chains x segment_length x tree_depth is the
+        # per-launch work, and oversized launches crash the tunnel worker
+        # (c32 x seg225 did; see CLAUDE.md).
+        rows.append(run_one("c32", chains=32, seg_len=50, mirror=8, kernel="xla"))
         rows.append(
-            run_one("c32-pallas", chains=32, seg_len=225, mirror=8, kernel="pallas")
+            run_one("c8-pallas", chains=8, seg_len=50, mirror=8, kernel="pallas")
         )
         rows.append(
-            run_one("c128-pallas", chains=128, seg_len=225, mirror=8, kernel="pallas")
+            run_one("c32-pallas", chains=32, seg_len=50, mirror=8, kernel="pallas")
+        )
+        rows.append(
+            run_one("c64-pallas", chains=64, seg_len=25, mirror=8, kernel="pallas")
         )
     else:
         rows.append(
