@@ -23,7 +23,7 @@ import numpy as np
 
 from ..distributions import Bijector, Distribution
 from ..utils.rng import as_key
-from .nuts import run_nuts
+from .nuts import ReplicaExchange, geometric_ladder, run_nuts
 from .slice import run_slice
 
 __all__ = ["MCMCPosterior"]
@@ -49,6 +49,9 @@ class MCMCPosterior:
         fallback_divergence_rate: float = 0.10,
         fallback_r_hat: float = 1.5,
         mode_hop=None,
+        pt_replicas: int = 1,
+        pt_beta_min: float = 0.1,
+        pt_swap_every: int = 1,
     ):
         if method not in ("nuts", "nuts_pyro", "hmc", "slice", "slice_np_vectorized"):
             raise ValueError(f"unknown MCMC method {method!r}")
@@ -78,6 +81,20 @@ class MCMCPosterior:
         # mixing (split R-hat), both signs of adaptation failure on stiff
         # learned-likelihood geometry.
         self.mode_hop = mode_hop
+        # Parallel tempering (replica exchange): pt_replicas > 1 runs that
+        # many replicas per chain on a geometric beta ladder down to
+        # pt_beta_min, swapping states between adjacent rungs (DEO sweeps)
+        # every pt_swap_every transitions — the cure for the rugged
+        # multimodal pulse-DDM landscape that leaves trajectory samplers
+        # basin-stuck (see inference/nuts.ReplicaExchange). NUTS-only.
+        self.pt_replicas = int(pt_replicas)
+        self.pt_beta_min = float(pt_beta_min)
+        self.pt_swap_every = int(pt_swap_every)
+        if self.pt_replicas > 1 and self.method not in ("nuts", "hmc"):
+            raise ValueError(
+                "pt_replicas > 1 requires the NUTS driver (parallel "
+                "tempering is not wired into run_slice)"
+            )
         self.auto_fallback = bool(auto_fallback)
         self.fallback_divergence_rate = float(fallback_divergence_rate)
         self.fallback_r_hat = float(fallback_r_hat)
@@ -89,23 +106,51 @@ class MCMCPosterior:
         theta = self.bij.forward(u)
         return self.potential.potential_fn(theta) + self.bij.forward_log_det(u)
 
-    def _init_positions(self, key) -> jnp.ndarray:
+    def _init_positions(self, key, n: int | None = None) -> jnp.ndarray:
         """Chain starts. "proposal": draw from the proposal (reference
         mnle.py:85). "resample": draw a pool from the proposal, weight by the
         potential, and resample the starts (sbi's importance-resampling
         init) — chains start in the posterior's bulk, shortening warmup."""
+        n = self.num_chains if n is None else int(n)
         if self.init_strategy == "proposal":
-            theta0 = self.proposal.sample(key, (self.num_chains,))
+            theta0 = self.proposal.sample(key, (n,))
             return self.bij.inverse(jnp.asarray(theta0, jnp.float32))
         k_pool, k_pick = jax.random.split(key)
-        pool_size = max(32 * self.num_chains, 256)
+        pool_size = max(32 * n, 256)
         pool = jnp.asarray(
             self.proposal.sample(k_pool, (pool_size,)), jnp.float32
         )
         logw = jax.jit(jax.vmap(self.potential.potential_fn))(pool)
         logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
-        idx = jax.random.categorical(k_pick, logw, shape=(self.num_chains,))
+        idx = jax.random.categorical(k_pick, logw, shape=(n,))
         return self.bij.inverse(pool[idx])
+
+    def _split_logp(self):
+        """(base_fn, ll_fn) in u-space with logp_u(u) = base(u) + ll(u),
+        where ``ll`` is the term a tempering beta multiplies. When the
+        potential exposes the (prior, likelihood) split (e.g.
+        ThetaOnlyPosteriorPotential), only the likelihood is tempered and
+        the prior stays — every rung is then a proper distribution. For an
+        opaque potential the whole density is tempered (base = 0), which is
+        valid PT whenever the prior-included target is proper."""
+        pot = self.potential
+        if hasattr(pot, "prior") and hasattr(pot, "likelihood"):
+
+            def base(u):
+                theta = self.bij.forward(u)
+                return pot.prior.log_prob(theta) + self.bij.forward_log_det(u)
+
+            def ll(u):
+                theta = self.bij.forward(u)
+                lik = pot.likelihood.log_lik_fn(
+                    pot.likelihood.estimator.params,
+                    pot.x_o,
+                    theta.reshape(1, -1),
+                )[0]
+                return lik / pot.temperature
+
+            return base, ll
+        return (lambda u: jnp.float32(0.0)), self._logp_u
 
     def _nuts_failed(self, samples_u, info) -> bool:
         """Health check behind the NUTS -> slice auto-fallback."""
@@ -137,10 +182,52 @@ class MCMCPosterior:
         key = as_key(key if key is not None else seed)
         k_init, k_run = jax.random.split(key)
 
-        init_u = self._init_positions(k_init)
         per_chain = math.ceil(num_samples / self.num_chains)
+        R = self.pt_replicas
 
-        if self.method in ("nuts", "hmc"):
+        if self.method in ("nuts", "hmc") and R > 1:
+            # Parallel tempering: C cold chains, each with R contiguous
+            # replicas (cold rung first) on a geometric beta ladder; beta
+            # rides in ``data`` so one compiled logp serves every rung, and
+            # DEO swap sweeps run between transitions inside run_nuts.
+            init_u = self._init_positions(k_init, self.num_chains * R)
+            base_fn, ll_fn = self._split_logp()
+            ladder = geometric_ladder(R, self.pt_beta_min)
+            betas = jnp.tile(jnp.asarray(ladder, jnp.float32), self.num_chains)
+
+            def logp_pt(u, beta):
+                return base_fn(u) + beta * ll_fn(u)
+
+            exchange = ReplicaExchange(
+                n_replicas=R,
+                betas=betas,
+                ll_fn=lambda u, beta: ll_fn(u),
+                swap_every=self.pt_swap_every,
+            )
+            samples_u, info = run_nuts(
+                k_run,
+                logp_pt,
+                init_u,
+                num_warmup=self.warmup_steps,
+                num_samples=per_chain,
+                max_depth=self.max_tree_depth,
+                target_accept=self.target_accept,
+                thin=self.thin,
+                data=betas,
+                mode_hop=self.mode_hop,
+                exchange=exchange,
+            )
+            # Keep only the cold (beta = 1) rung of each replica group.
+            # No slice auto-fallback here: plain slice would be a strict
+            # downgrade from a tempered ensemble on multimodal targets.
+            C, _, D = (
+                self.num_chains,
+                samples_u.shape[1],
+                samples_u.shape[-1],
+            )
+            samples_u = samples_u.reshape(C, R, per_chain, D)[:, 0]
+        elif self.method in ("nuts", "hmc"):
+            init_u = self._init_positions(k_init)
             samples_u, info = run_nuts(
                 k_run,
                 self._logp_u,
@@ -150,6 +237,7 @@ class MCMCPosterior:
                 max_depth=self.max_tree_depth,
                 target_accept=self.target_accept,
                 thin=self.thin,
+                mode_hop=self.mode_hop,
             )
             if self.auto_fallback and self._nuts_failed(samples_u, info):
                 self.used_fallback = True
@@ -168,6 +256,7 @@ class MCMCPosterior:
                     mode_hop=self.mode_hop,
                 )
         else:
+            init_u = self._init_positions(k_init)
             samples_u, info = run_slice(
                 k_run,
                 self._logp_u,
@@ -203,7 +292,9 @@ class MCMCPosterior:
         return self._last_info
 
 
-def make_grid_hop(bij, index: int, delta: float, multiples=(-2, -1, 1, 2)):
+def make_grid_hop(
+    bij, index: int, delta: float, multiples=(-2, -1, 1, 2), bounds=None
+):
     """Metropolis mode-hop for KNOWN periodic posterior structure.
 
     The pulse-DDM posterior is near-periodically multimodal in t_nd: shifting
@@ -222,17 +313,37 @@ def make_grid_hop(bij, index: int, delta: float, multiples=(-2, -1, 1, 2)):
     values including the bijector log-det, so the theta-space ratio is
     recovered by subtracting ``bij.forward_log_det`` on both sides.
     Out-of-support proposals are rejected exactly (target density zero).
+
+    ``bounds``: optional (lo, hi) support of theta[index]. When None it is
+    derived from the bijector's per-dimension support metadata
+    (distributions.Bijector: interval -> (lo, hi), positive -> (0, inf),
+    real -> (-inf, inf)), so the hop is correct for any prior — not just
+    the 5-param model's Beta-supported t_nd in (0, 1).
     """
     delta = float(delta)
     mults = jnp.asarray(multiples, jnp.float32)
+    if bounds is None:
+        kind = bij._kinds[index]
+        if kind == "interval":
+            bounds = (float(bij._lo[index]), float(bij._hi[index]))
+        elif kind == "positive":
+            bounds = (0.0, float("inf"))
+        else:
+            bounds = (float("-inf"), float("inf"))
+    lo_b, hi_b = float(bounds[0]), float(bounds[1])
+    # Margin keeps proposals strictly inside finite edges (the bijector's
+    # inverse clips at the boundary, which would break detailed balance).
+    span = hi_b - lo_b
+    margin = 1e-6 * span if np.isfinite(span) else 1e-6
+    lo_g = lo_b + margin if np.isfinite(lo_b) else lo_b
+    hi_g = hi_b - margin if np.isfinite(hi_b) else hi_b
 
     def hop(key, u, logp, g, vg_fn):
         k_m, k_a = jax.random.split(key)
         m = mults[jax.random.randint(k_m, (), 0, mults.shape[0])]
         theta = bij.forward(u)
         theta_new = theta.at[index].add(m * delta)
-        # Support guard: Beta-supported t_nd lives in (0, 1).
-        valid = (theta_new[index] > 1e-6) & (theta_new[index] < 1.0 - 1e-6)
+        valid = (theta_new[index] > lo_g) & (theta_new[index] < hi_g)
         theta_safe = jnp.where(valid, theta_new, theta)
         u_prop = bij.inverse(theta_safe)
         logp_prop, g_prop = vg_fn(u_prop)

@@ -23,14 +23,20 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["run_nuts", "nuts_step", "find_reasonable_step_size"]
+__all__ = [
+    "run_nuts",
+    "nuts_step",
+    "find_reasonable_step_size",
+    "ReplicaExchange",
+    "geometric_ladder",
+]
 
 _MAX_DELTA_ENERGY = 1000.0  # divergence threshold (Stan's default)
 
@@ -459,6 +465,97 @@ def _warmup_schedule(num_warmup: int):
 
 
 # ---------------------------------------------------------------------------
+# Replica exchange (parallel tempering)
+# ---------------------------------------------------------------------------
+def geometric_ladder(n_replicas: int, beta_min: float) -> np.ndarray:
+    """Geometric inverse-temperature ladder 1 = b_0 > b_1 > ... > b_{R-1} =
+    ``beta_min``. The cold rung (the target posterior) is ALWAYS index 0."""
+    R = int(n_replicas)
+    if R < 2:
+        return np.ones((max(R, 1),), np.float32)
+    return np.asarray(
+        beta_min ** (np.arange(R) / (R - 1)), np.float32
+    )
+
+
+@dataclass(frozen=True)
+class ReplicaExchange:
+    """Replica-exchange (parallel tempering) spec for ``run_nuts``.
+
+    The pulse-DDM posterior is rugged and multimodal across (a0, v, B, t_nd)
+    (BENCH_NOTES "real root cause": split-R-hat up to ~365 with zero
+    divergences) — trajectory samplers cannot cross between basins, which is
+    the failure mode behind the reference's sole correctness oracle (SBC rank
+    uniformity, reference mnle.py:132-237) at high power. Parallel tempering
+    runs ``n_replicas`` chains per cold chain on a ladder of inverse
+    temperatures ``betas`` applied to the LIKELIHOOD term only (the prior
+    stays untempered, so every rung is a proper distribution), and exchanges
+    states between adjacent rungs with the exact Metropolis ratio — hot rungs
+    traverse between basins, swaps transport those states down to beta = 1.
+
+    Contract with ``run_nuts``:
+      * the chain axis is grouped as ``C = M * n_replicas`` with replicas
+        CONTIGUOUS and the cold rung (beta = 1) FIRST in each group;
+      * ``betas`` has shape (C,) aligned with ``init_u`` rows (the caller
+        usually also threads beta through ``data`` so ``logp_fn`` computes
+        the tempered target ``base(u) + beta * ll(u)``);
+      * ``ll_fn(u[, data_i])`` returns the UNTEMPERED likelihood part
+        ``ll(u)`` — exactly the term beta multiplies in ``logp_fn``. Swap
+        acceptance between rungs i, j is
+        ``min(1, exp((beta_i - beta_j) * (ll_j - ll_i)))``; everything
+        beta does not multiply cancels.
+
+    Swaps use the deterministic even-odd (DEO) scheme (Okabe et al. 2001;
+    Syed et al. 2021 non-reversible PT): sweep s pairs rungs (0,1),(2,3),...
+    when s is even and (1,2),(3,4),... when odd, which moves states across
+    the full ladder in O(R) sweeps instead of O(R^2) for random pairing.
+    """
+
+    n_replicas: int
+    betas: jnp.ndarray  # (C,) inverse temperature per chain row
+    ll_fn: Callable  # ll_fn(u) or ll_fn(u, data_i) -> scalar untempered ll
+    swap_every: int = 1  # DEO sweep every k transitions
+
+
+def _exchange_sweep(ex: ReplicaExchange, key, sweep_idx, u, data):
+    """One DEO swap sweep. u: (C, D) positions. Returns the permutation
+    ``perm`` (C,) of chain rows such that ``u_new = u[perm]``.
+
+    Only the POSITION moves between rungs; per-rung adaptation state (step
+    size, mass matrix) stays with its temperature, which is the standard PT
+    scheme (each rung's kernel stays tuned to its own tempered geometry).
+    """
+    C = u.shape[0]
+    R = int(ex.n_replicas)
+    M = C // R
+    if data is None:
+        ll = jax.vmap(ex.ll_fn)(u)
+    else:
+        ll = jax.vmap(ex.ll_fn)(u, data)
+    llg = ll.reshape(M, R)
+    bg = ex.betas.reshape(M, R)
+
+    r = jnp.arange(R)
+    parity = sweep_idx % 2
+    partner = jnp.where((r - parity) % 2 == 0, r + 1, r - 1)
+    in_range = (partner >= 0) & (partner < R)
+    partner_safe = jnp.clip(partner, 0, R - 1)
+
+    ll_p = llg[:, partner_safe]  # (M, R)
+    b_p = bg[:, partner_safe]
+    # Symmetric in (r, partner): both sides compute the same ratio.
+    log_accept = (bg - b_p) * (ll_p - llg)
+    # One uniform per PAIR: key both members by the pair's lower rung index.
+    pair_id = jnp.minimum(r, partner_safe)
+    uni = jax.random.uniform(key, (M, R))  # indexed by pair_id -> shared
+    uni_pair = uni[:, pair_id]
+    accept = in_range[None, :] & (jnp.log(uni_pair) < log_accept)
+    perm_within = jnp.where(accept, partner_safe[None, :], r[None, :])
+    perm = (jnp.arange(M)[:, None] * R + perm_within).reshape(-1)
+    return perm, jnp.mean(accept.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Full driver: warmup + sampling, vmapped over chains
 # ---------------------------------------------------------------------------
 class _ChainState(NamedTuple):
@@ -489,6 +586,7 @@ def run_nuts(
     device_retries: int = 2,
     mirror_every: int | None = None,
     mode_hop=None,
+    exchange: Optional[ReplicaExchange] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Run NUTS: warmup with step-size + diagonal-mass adaptation, then
     sampling. ``init_u``: (num_chains, D). Returns
@@ -522,10 +620,29 @@ def run_nuts(
     (e.g. the pulse-grid posterior's near-periodic t_nd modes,
     inference/mcmc.make_grid_hop). Must preserve the target distribution
     (its own MH correction); adaptation statistics are taken after the hop.
+
+    ``exchange``: optional :class:`ReplicaExchange` — runs a parallel-
+    tempering swap sweep across the chain axis after every
+    ``exchange.swap_every`` transitions (DEO pairing). The chain axis must be
+    grouped as ``M * n_replicas`` contiguous replicas with the cold rung
+    first; ``samples`` then contains every rung and the caller selects the
+    beta = 1 rows. Composes with ``mode_hop`` (hop first, then swap).
     """
     num_chains, D = init_u.shape
     keys = jax.random.split(key, num_chains)
+    key_ex = jax.random.fold_in(key, 0x45584348)  # exchange-sweep stream
     L = max(int(segment_length), 1)
+    if exchange is not None:
+        if num_chains % int(exchange.n_replicas) != 0:
+            raise ValueError(
+                f"num_chains={num_chains} not divisible by "
+                f"n_replicas={exchange.n_replicas}"
+            )
+        if exchange.betas.shape != (num_chains,):
+            raise ValueError(
+                f"exchange.betas must be ({num_chains},), got "
+                f"{exchange.betas.shape}"
+            )
 
     # Per-step warmup flags from the Stan-style schedule.
     W = num_warmup
@@ -552,70 +669,113 @@ def run_nuts(
             eps_final=eps0,
         )
 
-    def segment(chain_key, st: _ChainState, data_i, step_keys, flags):
-        """L transitions for one chain. flags: (warm, collect, update) (L,)."""
+    def _vg(data_i):
         if data is None:
-            vg_fn = jax.value_and_grad(logp_fn)
-        else:
-            vg_fn = jax.value_and_grad(lambda u: logp_fn(u, data_i))
+            return jax.value_and_grad(logp_fn)
+        return jax.value_and_grad(lambda u: logp_fn(u, data_i))
 
-        def step(st: _ChainState, xs):
-            k, warm, collect, update = xs
-            eps = jnp.where(warm, jnp.exp(st.da.log_eps), st.eps_final)
+    def chain_step(k, st: _ChainState, data_i, warm, collect, update):
+        """One transition (x thin) + adaptation for a single chain."""
+        vg_fn = _vg(data_i)
+        eps = jnp.where(warm, jnp.exp(st.da.log_eps), st.eps_final)
 
-            def one(carry, kk):
-                u, logp, g = carry
-                u, logp, g, info = nuts_step(
-                    kk, u, logp, g, vg_fn=vg_fn, eps=eps,
-                    inv_mass=st.inv_mass, max_depth=max_depth,
-                )
-                return (u, logp, g), info
-
-            (u, logp, g), infos = lax.scan(
-                one, (st.u, st.logp, st.g), jax.random.split(k, thin)
+        def one(carry, kk):
+            u, logp, g = carry
+            u, logp, g, info = nuts_step(
+                kk, u, logp, g, vg_fn=vg_fn, eps=eps,
+                inv_mass=st.inv_mass, max_depth=max_depth,
             )
-            info = jax.tree.map(lambda a: a[-1], infos)
-            if mode_hop is not None:
-                u, logp, g = mode_hop(
-                    jax.random.fold_in(k, 0x9E37), u, logp, g, vg_fn
-                )
+            return (u, logp, g), info
 
-            da_new = _da_update(st.da, info["accept_prob"], target_accept)
-            da = jax.tree.map(
-                lambda a, b: jnp.where(warm, a, b), da_new, st.da
-            )
-            w_new = _welford_update(st.w, u)
-            w = jax.tree.map(
-                lambda a, b: jnp.where(warm & collect, a, b), w_new, st.w
+        (u, logp, g), infos = lax.scan(
+            one, (st.u, st.logp, st.g), jax.random.split(k, thin)
+        )
+        info = jax.tree.map(lambda a: a[-1], infos)
+        if mode_hop is not None:
+            u, logp, g = mode_hop(
+                jax.random.fold_in(k, 0x9E37), u, logp, g, vg_fn
             )
 
-            def window_end(args):
-                da, w, _ = args
-                # New mass matrix from the window variance; reset welford and
-                # re-center dual averaging (Stan behavior at window ends).
-                return (
-                    _da_init(jnp.exp(da.log_eps_avg)),
-                    _welford_init(D, u.dtype),
-                    _welford_var(w),
-                )
+        da_new = _da_update(st.da, info["accept_prob"], target_accept)
+        da = jax.tree.map(
+            lambda a, b: jnp.where(warm, a, b), da_new, st.da
+        )
+        w_new = _welford_update(st.w, u)
+        w = jax.tree.map(
+            lambda a, b: jnp.where(warm & collect, a, b), w_new, st.w
+        )
 
-            da, w, inv_mass = lax.cond(
-                warm & update, window_end, lambda a: a, (da, w, st.inv_mass)
+        def window_end(args):
+            da, w, _ = args
+            # New mass matrix from the window variance; reset welford and
+            # re-center dual averaging (Stan behavior at window ends).
+            return (
+                _da_init(jnp.exp(da.log_eps_avg)),
+                _welford_init(D, u.dtype),
+                _welford_var(w),
             )
-            eps_final = jnp.exp(da.log_eps_avg)
-            new_st = _ChainState(
-                u=u, logp=logp, g=g, da=da, w=w,
-                inv_mass=inv_mass, eps_final=eps_final,
-            )
-            return new_st, (u, info)
 
-        return lax.scan(step, st, (step_keys,) + flags)
+        da, w, inv_mass = lax.cond(
+            warm & update, window_end, lambda a: a, (da, w, st.inv_mass)
+        )
+        eps_final = jnp.exp(da.log_eps_avg)
+        new_st = _ChainState(
+            u=u, logp=logp, g=g, da=da, w=w,
+            inv_mass=inv_mass, eps_final=eps_final,
+        )
+        return new_st, (u, info)
 
     in_data_axis = None if data is None else 0
+
+    def segment_all(keys, st_b: _ChainState, data_b, step_keys_t, ex_keys,
+                    flags, t0):
+        """L transitions for ALL chains: scan over steps of a vmapped
+        transition, so cross-chain moves (replica-exchange swaps) can run
+        between transitions. step_keys_t: (L, num_chains) keys; flags:
+        (warm, collect, update) each (L,); t0: global transition index of
+        the segment start (drives DEO sweep parity).
+        """
+
+        def step(carry, xs):
+            st_b, t = carry
+            ks, ek, warm, collect, update = xs
+            st_b, (u_out, info_out) = jax.vmap(
+                chain_step, in_axes=(0, 0, in_data_axis, None, None, None)
+            )(ks, st_b, data_b, warm, collect, update)
+            if exchange is not None:
+                swap_every = max(int(exchange.swap_every), 1)
+
+                def apply_swap(st_b):
+                    perm, acc = _exchange_sweep(
+                        exchange, ek, t // swap_every, st_b.u, data_b
+                    )
+                    u_new = st_b.u[perm]
+                    logp_new, g_new = jax.vmap(
+                        lambda u, d: _vg(d)(u), in_axes=(0, in_data_axis)
+                    )(u_new, data_b)
+                    return st_b._replace(u=u_new, logp=logp_new, g=g_new), acc
+
+                st_b, acc = lax.cond(
+                    (t % swap_every) == 0,
+                    apply_swap,
+                    lambda s: (s, jnp.float32(-1.0)),  # -1 = no sweep this step
+                    st_b,
+                )
+                info_out = dict(
+                    info_out, swap_accept=jnp.full((st_b.u.shape[0],), acc)
+                )
+            return (st_b, t + 1), (u_out, info_out)
+
+        (st_b, _), (u_seg, info_seg) = lax.scan(
+            step, (st_b, t0), (step_keys_t, ex_keys) + flags
+        )
+        # (L, C, ...) -> (C, L, ...) to keep the driver's layout unchanged.
+        u_seg = jnp.swapaxes(u_seg, 0, 1)
+        info_seg = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), info_seg)
+        return st_b, (u_seg, info_seg)
+
     init_fn = jax.jit(jax.vmap(init_chain, in_axes=(0, 0, in_data_axis)))
-    seg_fn = jax.jit(
-        jax.vmap(segment, in_axes=(0, 0, in_data_axis, 0, (None, None, None)))
-    )
+    seg_fn = jax.jit(segment_all)
 
     state = init_fn(jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys), init_u, data)
 
@@ -638,10 +798,16 @@ def run_nuts(
     # differ would otherwise be silently spliced into the returned samples.
     import hashlib as _hashlib
 
+    ex_tag = (
+        "none"
+        if exchange is None
+        else f"R={exchange.n_replicas}/every={exchange.swap_every}/"
+        + _hashlib.sha256(np.asarray(exchange.betas).tobytes()).hexdigest()[:8]
+    )
     run_fingerprint = _hashlib.sha256(
         keys_host.tobytes()
         + f"L={L}/W={W}/S={num_samples}/thin={thin}/depth={max_depth}"
-          f"/hop={mode_hop is not None}".encode()
+          f"/hop={mode_hop is not None}/ex={ex_tag}".encode()
     ).hexdigest()[:16]
 
     ckpt_file = None
@@ -677,9 +843,14 @@ def run_nuts(
                 samples_host = [blob["samples"]]
                 infos_host = [
                     {
-                        "accept_prob": blob["accept_prob"],
-                        "num_steps": blob["num_steps"],
-                        "diverging": blob["diverging"],
+                        k: blob[k]
+                        for k in (
+                            "accept_prob",
+                            "num_steps",
+                            "diverging",
+                            "swap_accept",
+                        )
+                        if k in blob
                     }
                 ]
                 state_leaves, state_def = jax.tree.flatten(state_host)
@@ -748,25 +919,25 @@ def run_nuts(
         seg_keys = jax.vmap(
             lambda k: jax.random.split(jax.random.fold_in(k, 1000 + s), L)
         )(keys)
-        state_new, (u_seg, info_seg) = seg_fn(keys, state, data, seg_keys, flags)
+        seg_keys_t = jnp.swapaxes(seg_keys, 0, 1)  # (L, C)
+        ex_keys = jax.random.split(jax.random.fold_in(key_ex, s), L)
+        state_new, (u_seg, info_seg) = seg_fn(
+            keys, state, data, seg_keys_t, ex_keys, flags, jnp.int32(lo)
+        )
         return state_new, u_seg, info_seg
 
     def _save_ckpt(next_segment):
         state_leaves = jax.tree.leaves(state_host)
+        info_blobs = {
+            k: np.concatenate([i[k] for i in infos_host], axis=1)
+            for k in infos_host[0]
+        }
         np.savez(
             ckpt_file,
             run_fingerprint=np.asarray(run_fingerprint),
             next_segment=np.asarray(next_segment),
             samples=np.concatenate(samples_host, axis=1),
-            accept_prob=np.concatenate(
-                [i["accept_prob"] for i in infos_host], axis=1
-            ),
-            num_steps=np.concatenate(
-                [i["num_steps"] for i in infos_host], axis=1
-            ),
-            diverging=np.concatenate(
-                [i["diverging"] for i in infos_host], axis=1
-            ),
+            **info_blobs,
             **{f"state_{i}": leaf for i, leaf in enumerate(state_leaves)},
         )
 
@@ -845,4 +1016,11 @@ def run_nuts(
         "step_size": state.eps_final,
         "inv_mass": state.inv_mass,
     }
+    if exchange is not None and "swap_accept" in infos_host[0]:
+        # Mean DEO sweep acceptance over the WHOLE run (warmup included;
+        # rows are identical across chains, -1 marks steps with no sweep).
+        sa = np.concatenate(
+            [i["swap_accept"] for i in infos_host], axis=1
+        )[0]
+        info["swap_accept"] = float(sa[sa >= 0].mean()) if (sa >= 0).any() else 0.0
     return samples, info

@@ -26,7 +26,7 @@ import optax
 
 from .distributions import Distribution, mcmc_transform
 from .inference.mcmc import MCMCPosterior
-from .inference.nuts import run_nuts
+from .inference.nuts import ReplicaExchange, geometric_ladder, run_nuts
 from .models.rt_choice_model import simulate_session_data_rt_choice, pack_x_rt_choice
 from .nets.mnle_net import MNLE, MNLEConfig, build_mnle
 from .potentials import ThetaOnlyPosteriorPotential, ConditionedMNLELogLikelihood
@@ -536,21 +536,39 @@ def _run_sbc_batched(
 
         mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
 
-    def logp(u, data):
-        x_o, s_o = data
+    # Parallel tempering: R replicas per (dataset, chain), contiguous, cold
+    # rung first; beta rides in ``data`` so one compiled logp serves every
+    # rung (inference/nuts.ReplicaExchange).
+    R = max(int(cfg.MCMC_PT_REPLICAS), 1)
+    if R > 1 and cfg.MCMC_METHOD in ("slice", "slice_np_vectorized"):
+        raise ValueError(
+            "MCMC_PT_REPLICAS > 1 requires the NUTS driver "
+            "(parallel tempering is not wired into run_slice)"
+        )
+    ladder = geometric_ladder(R, cfg.MCMC_PT_BETA_MIN)
+
+    def _ll(u, data):
+        """Untempered summed log-likelihood term (what beta multiplies)."""
+        x_o, s_o = data[0], data[1]
         theta = bij.forward(u)
-        lp = prior_theta.log_prob(theta) + bij.forward_log_det(u)
         cond = jnp.concatenate(
             [jnp.broadcast_to(theta, (s_o.shape[0], theta.shape[-1])), s_o],
             axis=-1,
         )
-        return lp + jnp.sum(lp_fn(x_o, cond)) / temperature
+        return jnp.sum(lp_fn(x_o, cond)) / temperature
+
+    def logp(u, data):
+        theta = bij.forward(u)
+        lp = prior_theta.log_prob(theta) + bij.forward_log_det(u)
+        beta = data[2] if R > 1 else 1.0
+        return lp + beta * _ll(u, data)
 
     per_chain = _math.ceil(post_samples / C)
     G = min(group_size, D)  # datasets per launch
     n_groups = _math.ceil(D / G)
     pooled_groups = []
-    accepts, divergences = [], []
+    accepts, divergences, swap_accepts = [], [], []
+    rhat_per_ds, ess_per_ds = [], []
 
     # Crash-resume guard: segment checkpoints are only valid for the same
     # (key, workload shape); clear any stale ones from a different run.
@@ -559,7 +577,7 @@ def _run_sbc_batched(
 
     run_id = _hashlib.sha256(
         np.asarray(jax.random.key_data(key)).tobytes()
-        + f"{D}/{C}/{cfg.WARMUP_STEPS}/{per_chain}/{T}".encode()
+        + f"{D}/{C}/{cfg.WARMUP_STEPS}/{per_chain}/{T}/R={R}".encode()
     ).hexdigest()[:16]
     ckpt_root = outdir / "nuts_ckpt"
     run_id_file = ckpt_root / "run_id.txt"
@@ -580,23 +598,29 @@ def _run_sbc_batched(
         idx = (jnp.arange(G) + lo) % D  # pad final group by wrap-around
         x_g = x_d[idx]
         s_g = s_d[idx]
-        init_theta = prior_theta.sample(jax.random.fold_in(key, 300 + g), (G * C,))
+        init_theta = prior_theta.sample(
+            jax.random.fold_in(key, 300 + g), (G * C * R,)
+        )
         init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
-        data = jax.tree.map(lambda a: jnp.repeat(a, C, axis=0), (x_g, s_g))
-        n_real_chains = G * C
+        data = jax.tree.map(lambda a: jnp.repeat(a, C * R, axis=0), (x_g, s_g))
+        if R > 1:
+            beta_rows = jnp.tile(jnp.asarray(ladder, jnp.float32), G * C)
+            data = data + (beta_rows,)
+        n_real_chains = G * C * R
         if mesh is not None:
-            # Shard the folded (dataset x chain) axis over the mesh: chains
-            # are independent, so this scales SBC across chips with zero
-            # collectives (the reference runs datasets serially on one CPU).
-            # Pad the chain axis to the mesh size by wrap-around; padded
-            # chains are dropped after sampling.
+            # Shard the folded (dataset x chain x replica) axis over the
+            # mesh: rows only couple within a replica group (the DEO swap),
+            # so padding must append WHOLE groups — pad to a multiple of
+            # lcm(n_dev, R) by wrap-around; padded rows are complete replica
+            # groups copied from the front and are dropped after sampling.
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             from .parallel.mesh import pad_to_multiple
 
             n_dev = mesh.devices.size
-            init_u, _ = pad_to_multiple(init_u, n_dev)
-            data = jax.tree.map(lambda a: pad_to_multiple(a, n_dev)[0], data)
+            mult = n_dev * R // _math.gcd(n_dev, R)
+            init_u, _ = pad_to_multiple(init_u, mult)
+            data = jax.tree.map(lambda a: pad_to_multiple(a, mult)[0], data)
             axis = mesh.axis_names[0]
             init_u = jax.device_put(init_u, NamedSharding(mesh, _P(axis)))
             data = jax.tree.map(
@@ -604,6 +628,14 @@ def _run_sbc_batched(
                     a, NamedSharding(mesh, _P(axis, *([None] * (a.ndim - 1))))
                 ),
                 data,
+            )
+        exchange = None
+        if R > 1:
+            exchange = ReplicaExchange(
+                n_replicas=R,
+                betas=data[2],  # padded along with the rows
+                ll_fn=_ll,
+                swap_every=cfg.MCMC_PT_SWAP_EVERY,
             )
         if cfg.MCMC_METHOD in ("slice", "slice_np_vectorized"):
             from .inference.slice import run_slice
@@ -630,31 +662,59 @@ def _run_sbc_batched(
                 thin=cfg.MCMC_THIN,
                 data=data,
                 mode_hop=mode_hop,
+                exchange=exchange,
                 checkpoint_dir=(
                     str(outdir / "nuts_ckpt" / f"group_{g}")
                 ),
             )
         samples_u = samples_u[:n_real_chains]  # drop mesh-padding chains
-        theta_s = bij.forward(samples_u)  # (G*C, S, dim)
+        theta_s = bij.forward(samples_u)  # (G*C*R, S, dim)
         dim = theta_s.shape[-1]
+        # Keep only the cold (beta = 1) rung of each replica group, then
         # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
+        theta_cold = theta_s.reshape(G, C, R, per_chain, dim)[:, :, 0]
         pooled = (
-            theta_s.reshape(G, C, per_chain, dim)
+            theta_cold
             .swapaxes(1, 2)
             .reshape(G, C * per_chain, dim)[:, :post_samples]
         )
         pooled_groups.append(np.asarray(pooled))
+        # Per-dataset mixing diagnostics over the COLD chains: pooled ranks
+        # from unmixed chains silently bias every headline uniformity
+        # number (round-2 finding: split-R-hat up to ~365 with zero
+        # divergences), so record split-R-hat and min-ESS per dataset.
+        from .inference.diagnostics import effective_sample_size, split_r_hat
+
+        cold_np = np.asarray(theta_cold)  # (G, C, S, dim)
+        for gi in range(G):
+            if lo + gi >= D:
+                break  # wrap-around padding of the final group
+            if C >= 2 and per_chain >= 10:
+                rhat_per_ds.append(float(np.max(split_r_hat(cold_np[gi]))))
+                ess_per_ds.append(
+                    float(np.min(effective_sample_size(cold_np[gi])))
+                )
+            else:
+                rhat_per_ds.append(float("nan"))
+                ess_per_ds.append(float("nan"))
         # Report only statistics the sampler actually produced: slice has no
         # divergence notion (its accept_prob is the shrinkage success rate).
         accepts.append(float(jnp.mean(info["accept_prob"])))
         divergences.append(
             int(jnp.sum(info["diverging"])) if "diverging" in info else None
         )
+        swap_accepts.append(info.get("swap_accept"))
         if verbose:
             div_str = "n/a" if divergences[-1] is None else str(divergences[-1])
+            sw_str = (
+                f" swap_accept={swap_accepts[-1]:.3f}"
+                if swap_accepts[-1] is not None
+                else ""
+            )
             print(
-                f"[run_sbc] group {g + 1}/{n_groups}: {G} datasets x {C} chains "
-                f"mean_accept={accepts[-1]:.3f} divergences={div_str}"
+                f"[run_sbc] group {g + 1}/{n_groups}: {G} datasets x {C} chains"
+                f"{' x ' + str(R) + ' replicas' if R > 1 else ''} "
+                f"mean_accept={accepts[-1]:.3f} divergences={div_str}{sw_str}"
             )
 
     samples_np = np.concatenate(pooled_groups, axis=0)[:D]
@@ -666,14 +726,31 @@ def _run_sbc_batched(
 
     np.save(outdir / "sbc_thetas_true.npy", thetas_true_np)
     np.save(outdir / "sbc_ranks.npy", ranks)
+    rhat_np = np.asarray(rhat_per_ds[:D])
+    ess_np = np.asarray(ess_per_ds[:D])
+    np.savez(
+        outdir / "sbc_mixing_diagnostics.npz",
+        rhat_max=rhat_np,
+        min_ess=ess_np,
+    )
     if verbose:
         print(f"[run_sbc] wrote {outdir / 'sbc_thetas_true.npy'}")
         print(f"[run_sbc] wrote {outdir / 'sbc_ranks.npy'}")
+        n_bad = int(np.sum(rhat_np > 1.05)) if rhat_np.size else 0
+        print(
+            f"[run_sbc] per-dataset mixing: max split-R-hat="
+            f"{np.nanmax(rhat_np) if rhat_np.size else float('nan'):.3f}, "
+            f"min ESS={np.nanmin(ess_np) if ess_np.size else float('nan'):.0f}, "
+            f"{n_bad}/{D} datasets with R-hat > 1.05"
+        )
     _plot_sbc_rank_histograms(ranks, post_samples, outdir)
     return {
         "thetas_true": thetas_true_np,
         "ranks": ranks,
         "all_samples": [samples_np[i] for i in range(D)],
+        "rhat_max": rhat_np,
+        "min_ess": ess_np,
+        "swap_accept": [s for s in swap_accepts if s is not None] or None,
     }
 
 

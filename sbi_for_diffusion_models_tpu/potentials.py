@@ -66,6 +66,16 @@ class ConditionedMNLELogLikelihood:
         s = self.local_theta  # (T, P)
         T = s.shape[0]
 
+        if self._lp_fused is not None and params is not est.params:
+            # The fused kernel closed over construction-time params; a caller
+            # passing a DIFFERENT checkpoint would silently evaluate stale
+            # weights. Fail loudly instead (rebuild the potential, or use
+            # logprob_kernel="xla", to serve multiple checkpoints).
+            raise ValueError(
+                "fused log-prob path was built for the estimator's current "
+                "params; pass estimator.params or use logprob_kernel='xla'"
+            )
+
         def per_theta(th):  # th: (D,)
             cond = jnp.concatenate(
                 [jnp.broadcast_to(th, (T, th.shape[-1])), s], axis=-1

@@ -109,6 +109,16 @@ class RunConfig:
     # enables a Metropolis shift move between the modes inside NUTS/slice
     # (inference/mcmc.make_grid_hop). Valid MCMC; strictly improves mixing.
     MCMC_GRID_HOP: bool = True
+    # Parallel tempering (replica exchange): >1 runs that many replicas per
+    # chain on a geometric inverse-temperature ladder down to
+    # MCMC_PT_BETA_MIN, with DEO swap sweeps every MCMC_PT_SWAP_EVERY
+    # transitions (inference/nuts.ReplicaExchange). The cure for the rugged
+    # multimodal (a0, v, B, t_nd) landscape that leaves trajectory samplers
+    # basin-stuck (BENCH_NOTES round-2 "real root cause"); composes with
+    # MCMC_GRID_HOP. 1 = off.
+    MCMC_PT_REPLICAS: int = 1
+    MCMC_PT_BETA_MIN: float = 0.1
+    MCMC_PT_SWAP_EVERY: int = 1
 
     # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
     # (pure XLA), or "pallas" (fused TPU kernel).

@@ -121,3 +121,56 @@ def test_run_sbc_batched_with_pulse_rep(tmp_path):
     assert np.isfinite(s).all()
     assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
     assert (s[:, 4] > 0).all() and (s[:, 4] < 1).all()
+
+
+def test_run_sbc_batched_with_parallel_tempering(tiny_setup, tmp_path):
+    """SBC with MCMC_PT_REPLICAS > 1: only cold-rung samples pooled into
+    ranks, replica groups survive mesh-free padding, and the per-dataset
+    mixing diagnostics (VERDICT round-2 item 2) land in the output and on
+    disk."""
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(
+        SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=20, WARMUP_STEPS=20,
+        MCMC_PT_REPLICAS=2, MCMC_PT_BETA_MIN=0.3,
+    )
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
+    assert out["ranks"].shape == (2, 5)
+    assert (out["ranks"] >= 0).all() and (out["ranks"] <= 20).all()
+    s = out["all_samples"][0]
+    assert s.shape == (20, 5)
+    assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
+    # per-dataset mixing diagnostics recorded
+    assert out["rhat_max"].shape == (2,)
+    assert out["min_ess"].shape == (2,)
+    assert np.isfinite(out["rhat_max"]).all()
+    assert out["swap_accept"] is not None
+    assert all(0.0 <= a <= 1.0 for a in out["swap_accept"])
+    blob = np.load(tmp_path / "sbc_mixing_diagnostics.npz")
+    np.testing.assert_array_equal(blob["rhat_max"], out["rhat_max"])
+    np.testing.assert_array_equal(blob["min_ess"], out["min_ess"])
+
+
+def test_run_sbc_pt_on_mesh(tiny_setup, tmp_path):
+    """PT + mesh sharding: padding must append whole replica groups (rows
+    only couple within a group through the DEO swap)."""
+    from sbi_for_diffusion_models_tpu.parallel.mesh import default_mesh
+
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(
+        SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=12, WARMUP_STEPS=15,
+        MCMC_PT_REPLICAS=3, MCMC_PT_BETA_MIN=0.3,
+    )
+    mesh = default_mesh(axis_name="chains")
+    out = run_sbc(
+        cfg, prior, est, outdir=tmp_path, seed=0, verbose=False,
+        group_size=2, mesh=mesh,
+    )
+    assert out["ranks"].shape == (2, 5)
+    assert np.isfinite(out["all_samples"][0]).all()
+
+
+def test_run_sbc_pt_rejects_slice(tiny_setup, tmp_path):
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(MCMC_METHOD="slice", MCMC_PT_REPLICAS=2)
+    with pytest.raises(ValueError, match="PT_REPLICAS"):
+        run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
