@@ -43,6 +43,12 @@ def main():
     p.add_argument("--method", type=str, default=None,
                    choices=("nuts", "slice"), help="MCMC transition kernel")
     p.add_argument("--target-accept", type=float, default=None)
+    # Parallel tempering (inference/nuts.ReplicaExchange): replicas per
+    # chain on a geometric beta ladder; the cure for the rugged multimodal
+    # (a0, v, B, t_nd) landscape (BENCH_NOTES round-2 "real root cause").
+    p.add_argument("--pt-replicas", type=int, default=None)
+    p.add_argument("--pt-beta-min", type=float, default=None)
+    p.add_argument("--pt-swap-every", type=int, default=None)
     # Estimator capacity knobs (reference hard-codes 128/10/24, mnle.py:36-38).
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--transforms", type=int, default=None)
@@ -111,6 +117,12 @@ def main():
         cfg = cfg.replace(MCMC_METHOD=args.method)
     if args.target_accept is not None:
         cfg = cfg.replace(MCMC_TARGET_ACCEPT=args.target_accept)
+    if args.pt_replicas is not None:
+        cfg = cfg.replace(MCMC_PT_REPLICAS=args.pt_replicas)
+    if args.pt_beta_min is not None:
+        cfg = cfg.replace(MCMC_PT_BETA_MIN=args.pt_beta_min)
+    if args.pt_swap_every is not None:
+        cfg = cfg.replace(MCMC_PT_SWAP_EVERY=args.pt_swap_every)
     arch = {
         "MNLE_HIDDEN_FEATURES": args.hidden,
         "MNLE_NUM_TRANSFORMS": args.transforms,
@@ -176,6 +188,31 @@ def main():
         "chi2_pvalues": stats["chi2_pvalues"],
         "ranks_mean": np.asarray(sbc["ranks"]).mean(0).tolist(),
         "backend": jax.default_backend(),
+        "warmup": args.warmup,
+        "pt": {
+            "replicas": cfg.MCMC_PT_REPLICAS,
+            "beta_min": cfg.MCMC_PT_BETA_MIN,
+            "swap_every": cfg.MCMC_PT_SWAP_EVERY,
+            "swap_accept": sbc.get("swap_accept"),
+        },
+        # Per-dataset mixing health of the pooled ranks (VERDICT round-2
+        # item 2): ranks pooled from unmixed chains silently bias the
+        # uniformity numbers, so flag them here. Full per-dataset arrays:
+        # sbc_mixing_diagnostics.npz in outdir.
+        "mixing": {
+            "rhat_max": float(np.nanmax(sbc["rhat_max"]))
+            if np.asarray(sbc["rhat_max"]).size
+            else None,
+            "min_ess": float(np.nanmin(sbc["min_ess"]))
+            if np.asarray(sbc["min_ess"]).size
+            else None,
+            "n_datasets_rhat_gt_1p05": int(
+                np.sum(np.asarray(sbc["rhat_max"]) > 1.05)
+            ),
+            "n_datasets_rhat_gt_1p2": int(
+                np.sum(np.asarray(sbc["rhat_max"]) > 1.2)
+            ),
+        },
     }
     (outdir / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))

@@ -1,0 +1,157 @@
+"""Statistical validation of the hierarchical tier: hyperparameter
+credible-interval coverage (round-2 VERDICT item 6).
+
+The hierarchical model (models/hierarchical.py) extends the reference —
+which fits each rat independently (reference
+src/notebooks/pulse_ddm_model.ipynb cells 7-9) — with a joint population
+posterior. "Runs" was shown in round 2 (artifacts/hierarchical_demo.json);
+this benchmark shows "works": over R repetitions, draw (mu, log_tau) from
+the EXACT hyperprior the inference uses, simulate S subjects x T trials,
+run joint NUTS, and record whether the central credible interval covers
+the generating hyperparameter. If the joint model + sampler are calibrated,
+coverage matches the nominal level (this is interval-level SBC).
+
+Coverage is assessed in the unconstrained sampling space, where mu and
+log_tau are defined; every repetition reuses one compiled NUTS program
+(identical shapes), so repetitions cost sampling time only.
+
+Also reports the posterior-mean population error per repetition, to put the
+round-2 demo's mean_abs_rel_error = 0.489 (6 subjects x 30 trials, narrowed
+hyperprior) in context: with few subjects the population-location posterior
+is dominated by between-subject spread, so a large point-estimate error is
+expected and says nothing about calibration — coverage is the right metric.
+
+Writes artifacts/hierarchical_coverage.json.
+
+Usage: python benchmarks/hierarchical_coverage.py [--reps 20] [--subjects 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sbi_for_diffusion_models_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--subjects", type=int, default=4)
+    p.add_argument("--trials", type=int, default=20)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--warmup", type=int, default=250)
+    p.add_argument("--samples", type=int, default=300)
+    p.add_argument("--level", type=float, default=0.9)
+    p.add_argument("--model", type=str, default="mnle_1m_censor.npz")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str,
+                   default="artifacts/hierarchical_coverage.json")
+    args = p.parse_args()
+
+    from sbi_for_diffusion_models_tpu.inference.diagnostics import (
+        split_r_hat,
+    )
+    from sbi_for_diffusion_models_tpu.mnle import load_model
+    from sbi_for_diffusion_models_tpu.models.hierarchical import (
+        HierarchicalModel,
+        run_hierarchical_inference,
+        simulate_hierarchical_sessions,
+    )
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+
+    prior = build_prior_theta()
+    model = HierarchicalModel.from_prior(prior)
+    est = load_model(args.model)
+    D = model.theta_dim
+    S = args.subjects
+    lo_q = (1.0 - args.level) / 2.0
+    hi_q = 1.0 - lo_q
+
+    cover_mu = np.zeros((args.reps, D), bool)
+    cover_lt = np.zeros((args.reps, D), bool)
+    rhat_worst = np.zeros(args.reps)
+    mean_err = np.zeros(args.reps)
+    t_start = time.time()
+    for r in range(args.reps):
+        theta_true, x, pulses, (mu_t, lt_t) = simulate_hierarchical_sessions(
+            prior, S, args.trials, model=model, seed=args.seed + 1000 + r,
+            return_hyperparams=True, hyper_shrink=1.0,
+        )
+        res = run_hierarchical_inference(
+            est, prior, x, pulses, model=model,
+            num_chains=args.chains, num_warmup=args.warmup,
+            num_samples=args.samples, seed=args.seed + 2000 + r,
+            verbose=False,
+        )
+        raw = res["raw"]  # (C, N, dim)
+        flat = raw.reshape(-1, raw.shape[-1])
+        mu_s = flat[:, :D]
+        lt_s = flat[:, D : 2 * D]
+        mu_lo, mu_hi = np.quantile(mu_s, [lo_q, hi_q], axis=0)
+        lt_lo, lt_hi = np.quantile(lt_s, [lo_q, hi_q], axis=0)
+        mu_t = np.asarray(mu_t)
+        lt_t = np.asarray(lt_t)
+        cover_mu[r] = (mu_t >= mu_lo) & (mu_t <= mu_hi)
+        cover_lt[r] = (lt_t >= lt_lo) & (lt_t <= lt_hi)
+        rhat_worst[r] = float(np.max(split_r_hat(raw[:, :, : 2 * D])))
+        mean_err[r] = float(
+            np.mean(np.abs(mu_s.mean(0) - mu_t) / np.maximum(np.abs(mu_t), 0.1))
+        )
+        print(
+            f"[hier_cov] rep {r + 1}/{args.reps}: "
+            f"mu covered {int(cover_mu[r].sum())}/{D}, "
+            f"log_tau covered {int(cover_lt[r].sum())}/{D}, "
+            f"worst R-hat {rhat_worst[r]:.3f} "
+            f"({time.time() - t_start:.0f}s)"
+        )
+
+    n = args.reps * D
+    cov_mu = float(cover_mu.mean())
+    cov_lt = float(cover_lt.mean())
+    # Binomial SE at the nominal level for n intervals per block.
+    se = float(np.sqrt(args.level * (1 - args.level) / n))
+    report = {
+        "reps": args.reps,
+        "subjects": S,
+        "trials": args.trials,
+        "chains": args.chains,
+        "warmup": args.warmup,
+        "samples_per_chain": args.samples,
+        "nominal_level": args.level,
+        "coverage_mu": cov_mu,
+        "coverage_log_tau": cov_lt,
+        "binomial_se": se,
+        "n_intervals_per_block": n,
+        "worst_rhat_per_rep": rhat_worst.tolist(),
+        "mean_abs_rel_error_mu_per_rep": mean_err.tolist(),
+        "model_file": args.model,
+        "wall_s": time.time() - t_start,
+        # Within 3 binomial SEs of nominal for both hyperparameter blocks.
+        "pass": bool(
+            abs(cov_mu - args.level) < 3 * se
+            and abs(cov_lt - args.level) < 3 * se
+        ),
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(
+        f"[hier_cov] coverage: mu={cov_mu:.3f} log_tau={cov_lt:.3f} "
+        f"(nominal {args.level}, SE {se:.3f}) -> "
+        f"{'PASS' if report['pass'] else 'FAIL'} -> {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

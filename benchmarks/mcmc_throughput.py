@@ -63,28 +63,73 @@ def main():
     x_o = pack_x_rt_choice(x_o, log_rt=False)
     T = args.trials_obs
 
-    def make_logp(kernel):
+    def make_ll(kernel):
         lp_fn = est.dispatch_log_prob(kernel)
 
-        def logp(u):
+        def ll(u):
             theta = bij.forward(u)
-            lp = prior.log_prob(theta) + bij.forward_log_det(u)
             cond = jnp.concatenate(
                 [jnp.broadcast_to(theta, (T, theta.shape[-1])), pulses_o], -1
             )
-            return lp + jnp.sum(lp_fn(x_o, cond))
+            return jnp.sum(lp_fn(x_o, cond))
+
+        return ll
+
+    def make_logp(kernel):
+        ll = make_ll(kernel)
+
+        def logp(u):
+            theta = bij.forward(u)
+            return prior.log_prob(theta) + bij.forward_log_det(u) + ll(u)
 
         return logp
 
-    def run_one(name, *, chains, seg_len, mirror, kernel, max_depth=8):
-        logp = make_logp(kernel)
+    def run_one(name, *, chains, seg_len, mirror, kernel, max_depth=8,
+                hop=False, pt_replicas=1, pt_beta_min=0.2):
+        """One timed config. ``pt_replicas`` > 1 runs parallel tempering
+        (likelihood-only geometric ladder, DEO swaps) and scores ESS on the
+        cold rung only — samples/s also counts cold-rung draws only, so PT
+        pays for its hot rungs honestly in this table."""
+        from sbi_for_diffusion_models_tpu.inference.mcmc import make_grid_hop
+        from sbi_for_diffusion_models_tpu.inference.nuts import (
+            ReplicaExchange,
+            geometric_ladder,
+        )
+
+        R = int(pt_replicas)
+        mode_hop = None
+        if hop:
+            from sbi_for_diffusion_models_tpu.constants import PULSE_INTERVAL
+
+            mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
         init = bij.inverse(
-            jnp.asarray(prior.sample(jax.random.key(7), (chains,)), jnp.float32)
+            jnp.asarray(
+                prior.sample(jax.random.key(7), (chains * R,)), jnp.float32
+            )
         )
         kw = dict(
             num_warmup=args.warmup, num_samples=args.draws,
             max_depth=max_depth, segment_length=seg_len, mirror_every=mirror,
+            mode_hop=mode_hop,
         )
+        if R > 1:
+            ll = make_ll(kernel)
+            betas = jnp.tile(
+                jnp.asarray(geometric_ladder(R, pt_beta_min)), chains
+            )
+
+            def logp(u, beta):
+                theta = bij.forward(u)
+                base = prior.log_prob(theta) + bij.forward_log_det(u)
+                return base + beta * ll(u)
+
+            kw["data"] = betas
+            kw["exchange"] = ReplicaExchange(
+                n_replicas=R, betas=betas,
+                ll_fn=lambda u, beta: ll(u), swap_every=1,
+            )
+        else:
+            logp = make_logp(kernel)
         # Cold run compiles; warm run measures.
         t0 = time.time()
         s, info = run_nuts(jax.random.key(8), logp, init, **kw)
@@ -94,11 +139,15 @@ def main():
         s, info = run_nuts(jax.random.key(9), logp, init, **kw)
         float(np.asarray(s).sum())
         warm = time.time() - t0
+        if R > 1:  # keep the cold (beta = 1) rung of each replica group
+            s = s.reshape(chains, R, args.draws, -1)[:, 0]
         total = chains * args.draws
         ess = effective_sample_size(np.asarray(bij.forward(s)))
         row = {
             "name": name, "chains": chains, "segment_length": seg_len,
             "mirror_every": mirror, "kernel": kernel,
+            "grid_hop": bool(hop), "pt_replicas": R,
+            "swap_accept": info.get("swap_accept"),
             "warm_wall_s": round(warm, 2), "cold_wall_s": round(cold, 2),
             "samples_per_s": round(total / warm, 1),
             "min_ess": round(float(ess.min()), 1),
@@ -127,6 +176,21 @@ def main():
         rows.append(
             run_one("c64-pallas", chains=64, seg_len=25, mirror=8, kernel="pallas")
         )
+        # Round-3 mixing tier: stuck multimodal chains were the real ESS
+        # ceiling (round-2 min-ESS ~4 regardless of chain count). The grid
+        # hop + parallel tempering buy ESS, not samples.
+        rows.append(
+            run_one("c64-pallas-hop", chains=64, seg_len=25, mirror=8,
+                    kernel="pallas", hop=True)
+        )
+        rows.append(
+            run_one("c16x4pt-pallas-hop", chains=16, seg_len=25, mirror=8,
+                    kernel="pallas", hop=True, pt_replicas=4)
+        )
+        rows.append(
+            run_one("c32x2pt-pallas-hop", chains=32, seg_len=25, mirror=8,
+                    kernel="pallas", hop=True, pt_replicas=2)
+        )
     else:
         rows.append(
             run_one("quick-pallas", chains=8, seg_len=225, mirror=8, kernel="pallas")
@@ -136,9 +200,17 @@ def main():
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps({"model": args.model, "rows": rows}, indent=2))
     best = max(rows, key=lambda r: r["samples_per_s"])
+    best_ess = max(rows, key=lambda r: r["ess_per_s"])
     print(
-        f"[mcmc_throughput] best: {best['name']} {best['samples_per_s']} samples/s "
-        f"({best['samples_per_s'] / 11.7:.1f}x round-1 baseline)"
+        f"[mcmc_throughput] best samples/s: {best['name']} "
+        f"{best['samples_per_s']} ({best['samples_per_s'] / 11.7:.1f}x "
+        f"round-1 baseline)"
+    )
+    # ESS/s is the headline: samples/s overstates information throughput
+    # when chains are basin-stuck (round-2 VERDICT "what's weak" item 3).
+    print(
+        f"[mcmc_throughput] best min-ESS/s: {best_ess['name']} "
+        f"{best_ess['ess_per_s']} (round-2 best was 0.26)"
     )
 
 

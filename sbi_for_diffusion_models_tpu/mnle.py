@@ -121,6 +121,23 @@ def train_mnle(
         if want_pulse_block and theta_dim is not None
         else 0
     )
+    if cfg.MNLE_RT_REP == "pulse":
+        import warnings
+
+        # Research scaffolding, not a production estimator: every measured
+        # 96-dataset SBC run of the pulse rep failed rank uniformity
+        # (KS p down to 4e-16 absolute-anchor, 3e-19 tnd-anchor —
+        # artifacts/calibration_pulseabs_*_96; round-2 VERDICT "what's
+        # weak" item 2). It remains available because its sharpness is what
+        # exposed the posterior's t_nd multimodality.
+        warnings.warn(
+            "MNLE_RT_REP='pulse' is statistically UNCALIBRATED: all "
+            "measured 96-dataset SBC runs failed rank uniformity "
+            "(artifacts/calibration_pulseabs_*_96). Use the default "
+            "rt_rep='log' (with MNLE_CENSOR_RT=True) for inference you "
+            "intend to trust.",
+            stacklevel=2,
+        )
     mcfg = MNLEConfig(
         condition_dim=int(z.shape[1]),
         num_categories=num_categories,
@@ -415,6 +432,10 @@ def run_inference_mcmc(
         target_accept=cfg.MCMC_TARGET_ACCEPT,
         verbose=verbose,
         mode_hop=mode_hop,
+        auto_fallback=cfg.MCMC_AUTO_FALLBACK,
+        pt_replicas=cfg.MCMC_PT_REPLICAS,
+        pt_beta_min=cfg.MCMC_PT_BETA_MIN,
+        pt_swap_every=cfg.MCMC_PT_SWAP_EVERY,
     )
     samples = posterior.sample(
         (cfg.POSTERIOR_SAMPLES,), x=x_o, key=as_key(seed)

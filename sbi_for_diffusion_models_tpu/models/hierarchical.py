@@ -107,10 +107,14 @@ def simulate_hierarchical_sessions(
     mu_sensory: float = 1.0,
     p_success: float = 0.75,
     seed=0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_hyperparams: bool = False,
+    hyper_shrink: float = 0.5,
+):
     """Draw per-subject theta from the hierarchy and simulate all sessions in
     one batched kernel call. Returns (theta_true (S, D), x (S, T, 2),
-    pulses (S, T, P))."""
+    pulses (S, T, P)); with ``return_hyperparams`` also the generating
+    ``(mu, log_tau)`` in the unconstrained space — the ground truth for
+    hyperparameter coverage checks (benchmarks/hierarchical_coverage.py)."""
     from .rt_choice_model import (
         generate_pulse_matrix,
         n_pulses_max_from_schedule,
@@ -124,10 +128,18 @@ def simulate_hierarchical_sessions(
         model = HierarchicalModel.from_prior(prior)
     D = model.theta_dim
     k_mu, k_tau, k_eps, k_stim, k_sim = jax.random.split(key, 5)
-    mu = model.mu_loc + model.mu_scale * 0.5 * jax.random.normal(k_mu, (D,))
-    tau = jnp.exp(
-        model.log_tau_loc + model.log_tau_scale * 0.5 * jax.random.normal(k_tau, (D,))
+    # hyper_shrink < 1 draws hyperparameters from a narrowed hyperprior —
+    # convenient for demos (keeps subjects in a plausible range) but NOT
+    # valid for coverage checks, which require sampling the exact
+    # hyperprior the inference uses (hyper_shrink=1.0).
+    mu = model.mu_loc + model.mu_scale * hyper_shrink * jax.random.normal(
+        k_mu, (D,)
     )
+    log_tau = (
+        model.log_tau_loc
+        + model.log_tau_scale * hyper_shrink * jax.random.normal(k_tau, (D,))
+    )
+    tau = jnp.exp(log_tau)
     eps = jax.random.normal(k_eps, (num_subjects, D))
     theta_true = bij.forward(mu[None, :] + tau[None, :] * eps)
 
@@ -139,7 +151,10 @@ def simulate_hierarchical_sessions(
     x = rt_choice_model_simulator_torch(
         theta_rep, rng=k_sim, mu_sensory=mu_sensory, pulse_sides=pulses
     )
-    return theta_true, x.reshape(S, T, 2), pulses.reshape(S, T, P)
+    out = (theta_true, x.reshape(S, T, 2), pulses.reshape(S, T, P))
+    if return_hyperparams:
+        return out + ((mu, log_tau),)
+    return out
 
 
 def run_hierarchical_inference(

@@ -87,6 +87,10 @@ class RunConfig:
     # RT representation: "log" (reference-style flow over log RT) or "pulse"
     # (physics-informed slot/phase factorization on the pulse grid; requires
     # MNLE_CENSOR_RT). See nets/mnle_net.MNLEConfig.rt_rep.
+    # STATUS ("pulse"): research scaffolding — statistically UNCALIBRATED.
+    # Every measured 96-dataset SBC run failed rank uniformity (KS p down to
+    # 4e-16; artifacts/calibration_pulseabs_*_96), and train_mnle warns on
+    # use. Kept because its sharpness exposed the t_nd multimodality.
     MNLE_RT_REP: str = "log"
     # Grid anchor for the pulse rep: "absolute" (theta-independent slots +
     # circular phase flow; smooth potential) or "tnd" (slots anchored at the
@@ -119,6 +123,11 @@ class RunConfig:
     MCMC_PT_REPLICAS: int = 1
     MCMC_PT_BETA_MIN: float = 0.1
     MCMC_PT_SWAP_EVERY: int = 1
+    # NUTS -> slice auto-fallback on adaptation failure (divergence storm /
+    # catastrophic R-hat). Off reproduces a fixed-kernel run exactly — used
+    # by benchmarks/golden_parity.py --mimic-reference to replicate the
+    # reference's fixed pyro-NUTS behavior (reference mnle.py:82-90).
+    MCMC_AUTO_FALLBACK: bool = True
 
     # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
     # (pure XLA), or "pallas" (fused TPU kernel).

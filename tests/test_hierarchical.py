@@ -70,3 +70,24 @@ def test_simulate_and_infer_tiny():
     assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()  # a0 in (0,1)
     assert (s[:, 1:4] > 0).all()  # positive supports
     assert np.isfinite(out["raw"]).all()
+
+
+def test_simulate_returns_hyperparams():
+    """return_hyperparams exposes the generating (mu, log_tau) for coverage
+    checks (benchmarks/hierarchical_coverage.py); hyper_shrink=1.0 samples
+    the exact hyperprior. Subjects must be reproducible from the returned
+    hyperparameters' seed stream."""
+    prior = build_prior_theta()
+    model = HierarchicalModel.from_prior(prior)
+    theta, x, pulses, (mu, log_tau) = simulate_hierarchical_sessions(
+        prior, num_subjects=3, trials_per_subject=2, model=model, seed=7,
+        return_hyperparams=True, hyper_shrink=1.0,
+    )
+    assert mu.shape == (5,) and log_tau.shape == (5,)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(log_tau)).all()
+    # Default call is unchanged (3-tuple, shrunk hyperprior).
+    out = simulate_hierarchical_sessions(
+        prior, num_subjects=3, trials_per_subject=2, seed=7
+    )
+    assert len(out) == 3

@@ -466,3 +466,33 @@ def test_save_load_roundtrip(tmp_path, untrained, monkeypatch):
         np.asarray(est2.log_prob(x, c)),
         rtol=1e-6,
     )
+
+
+def test_pulse_rep_warns_uncalibrated():
+    """MNLE_RT_REP='pulse' is research scaffolding: every measured
+    96-dataset SBC run failed rank uniformity (round-2 VERDICT), so
+    train_mnle must warn loudly on use."""
+    import warnings
+
+    from sbi_for_diffusion_models_tpu.pipeline import build_prior_theta
+    from sbi_for_diffusion_models_tpu.proposals import (
+        ExtendedProposal,
+        PulseSequenceProposal,
+    )
+
+    cfg = RUN_CONFIG_PARAMS.replace(
+        MNLE_RT_REP="pulse", MNLE_CENSOR_RT=True,
+        MNLE_HIDDEN_FEATURES=8, MNLE_NUM_TRANSFORMS=1, MNLE_NUM_BINS=4,
+        TRAIN_MAX_EPOCHS=1, TRAIN_BATCH_SIZE=64,
+    )
+    prior = build_prior_theta()
+    prop = ExtendedProposal(prior, PulseSequenceProposal(8, 0.75))
+    key = jax.random.key(0)
+    z = prop.sample(key, (128,))
+    rt = z[:, 4] + 0.25
+    choice = jnp.zeros((128,), jnp.float32)
+    x = jnp.stack([rt, choice], -1)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train_mnle(cfg, prop, z, x, seed=0, verbose=False)
+    assert any("UNCALIBRATED" in str(w.message) for w in rec)

@@ -76,6 +76,54 @@ def test_pt_recovers_bimodal_weights_plain_nuts_fails():
     assert info["swap_accept"] > 0.1
 
 
+def test_pt_crosses_barrier_the_grid_hop_cannot():
+    """The round-2 diagnosis: the t_nd grid hop is "necessary but not
+    sufficient" — the ruggedness extends into (a0, v, B), dimensions with no
+    known periodic structure to hop along. Model that: two far-apart modes
+    in dim 1 while the hop move only shifts dim 0. NUTS + hop stays in the
+    start basin; PT (composed with the same hop) recovers both modes."""
+    from sbi_for_diffusion_models_tpu.distributions import Normal
+
+    prior = MultipleIndependent([Normal(0.0, 10.0), Normal(0.0, 10.0)])
+    bij = mcmc_transform(prior)
+
+    def ll(u):
+        # dim 0: mild periodic structure the hop handles; dim 1: two modes
+        # 12 sigma apart the hop cannot touch.
+        a = -0.5 * ((u[1] + 3.0) / 0.5) ** 2 + jnp.log(0.5)
+        b = -0.5 * ((u[1] - 3.0) / 0.5) ** 2 + jnp.log(0.5)
+        return -0.5 * (u[0] / 1.0) ** 2 + jnp.logaddexp(a, b)
+
+    hop = make_grid_hop(bij, index=0, delta=1.0)
+    M, S = 6, 300
+    init = jnp.concatenate(
+        [jnp.zeros((M, 1)), jnp.full((M, 1), -3.0)], axis=1
+    )
+
+    s_hop, _ = run_nuts(
+        jax.random.key(10), lambda u: ll(u), init,
+        num_warmup=250, num_samples=S, max_depth=6, mode_hop=hop,
+    )
+    frac_hop = float((np.asarray(s_hop)[..., 1] > 0).mean())
+    assert frac_hop < 0.02, f"NUTS+hop unexpectedly crossed: {frac_hop}"
+
+    R = 6
+    betas = jnp.tile(jnp.asarray(geometric_ladder(R, 0.01), jnp.float32), M)
+    init_pt = jnp.tile(init, (1, 1)).repeat(R, axis=0)
+    ex = ReplicaExchange(
+        n_replicas=R, betas=betas, ll_fn=lambda u, b: ll(u), swap_every=1
+    )
+    s_pt, info = run_nuts(
+        jax.random.key(10), lambda u, beta: beta * ll(u), init_pt,
+        num_warmup=250, num_samples=S, max_depth=6, data=betas, exchange=ex,
+        mode_hop=hop,
+    )
+    cold = np.asarray(s_pt).reshape(M, R, S, 2)[:, 0]
+    frac_pt = float((cold[..., 1] > 0).mean())
+    assert abs(frac_pt - 0.5) < 0.17, f"PT+hop mode weight off: {frac_pt}"
+    assert info["swap_accept"] > 0.1
+
+
 def test_pt_preserves_unimodal_target():
     """Replica exchange is exact MCMC: on a plain correlated Gaussian the
     cold rung must reproduce the target moments (swaps change nothing
