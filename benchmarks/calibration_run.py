@@ -63,11 +63,16 @@ def main():
                         "features alone)")
     p.add_argument("--grid-anchor", type=str, default=None,
                    choices=("absolute", "tnd"))
-    p.add_argument("--rt-rep", type=str, default=None, choices=("log", "pulse"),
+    p.add_argument("--rt-rep", type=str, default=None,
+                   choices=("log", "shifted_log", "pulse"),
                    help="RT representation (pulse = slot/phase grid "
                         "factorization; implies --censor-rt)")
     p.add_argument("--censor-rt", action="store_true",
                    help="censored-RT likelihood (choice==2 -> categorical only)")
+    p.add_argument("--log-theta", action="store_true",
+                   help="log-reparameterize the LogNormal condition dims "
+                        "(lam, v, B) before z-scoring (MNLE_LOG_THETA_DIMS="
+                        "(1,2,3)); targets the shared v/B SBC shrinkage")
     p.add_argument(
         "--reuse-model",
         action="store_true",
@@ -77,7 +82,17 @@ def main():
         "--model",
         type=str,
         default="mnle_calibration.npz",
-        help="model filename (with --reuse-model) / save name (without)",
+        help="model filename (with --reuse-model) / save name (without); "
+        "a comma-separated list (with --reuse-model) loads a deep "
+        "ensemble (mnle.MNLEEnsemble mixture likelihood)",
+    )
+    p.add_argument(
+        "--ensemble",
+        type=int,
+        default=1,
+        help="train K members on fresh simulation draws (seed offsets) and "
+        "run SBC with the K-mixture likelihood; members saved as "
+        "<model>.mK.npz",
     )
     args = p.parse_args()
 
@@ -136,18 +151,48 @@ def main():
         cfg = cfg.replace(MNLE_RT_REP=args.rt_rep)
     if args.grid_anchor:
         cfg = cfg.replace(MNLE_GRID_ANCHOR=args.grid_anchor)
-    if args.censor_rt or args.rt_rep == "pulse":
+    if args.censor_rt or args.rt_rep in ("pulse", "shifted_log"):
         cfg = cfg.replace(MNLE_CENSOR_RT=True)
+    if args.log_theta:
+        cfg = cfg.replace(MNLE_LOG_THETA_DIMS=(1, 2, 3))
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
     proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))
 
     if args.reuse_model:
-        from sbi_for_diffusion_models_tpu.mnle import load_model
+        from sbi_for_diffusion_models_tpu.mnle import load_ensemble, load_model
 
-        est = load_model(args.model)
+        if "," in args.model:
+            est = load_ensemble(args.model)
+            print(
+                f"[calibration] reusing saved {len(est.members)}-member "
+                f"ensemble: {args.model}"
+            )
+        else:
+            est = load_model(args.model)
+            print(f"[calibration] reusing saved {args.model}")
         sim_wall = train_wall = 0.0
-        print(f"[calibration] reusing saved {args.model}")
+    elif args.ensemble > 1:
+        from sbi_for_diffusion_models_tpu.mnle import MNLEEnsemble
+
+        members, sim_wall, train_wall = [], 0.0, 0.0
+        stem = args.model[: -len(".npz")] if args.model.endswith(".npz") else args.model
+        for k in range(args.ensemble):
+            t0 = time.time()
+            z, x = simulate_training_set_with_conditions(
+                cfg, proposal, seed=args.seed + 1000 * k
+            )
+            sim_wall += time.time() - t0
+            t0 = time.time()
+            m = train_mnle(cfg, proposal, z, x, seed=args.seed + 1 + 1000 * k)
+            train_wall += time.time() - t0
+            save_model(m, cfg, filename=f"{stem}.m{k}.npz")
+            print(
+                f"[calibration] member {k + 1}/{args.ensemble} trained "
+                f"(val {m.train_meta.get('best_val_loss'):.4f})"
+            )
+            members.append(m)
+        est = MNLEEnsemble(members)
     else:
         t0 = time.time()
         z, x = simulate_training_set_with_conditions(cfg, proposal, seed=args.seed)

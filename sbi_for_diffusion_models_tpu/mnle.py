@@ -39,6 +39,8 @@ __all__ = [
     "run_sbc",
     "save_model",
     "load_model",
+    "MNLEEnsemble",
+    "load_ensemble",
 ]
 
 
@@ -156,22 +158,37 @@ def train_mnle(
         censor_rt=cfg.MNLE_CENSOR_RT,
         rt_rep=cfg.MNLE_RT_REP,
         grid_anchor=cfg.MNLE_GRID_ANCHOR,
+        log_condition_dims=cfg.MNLE_LOG_THETA_DIMS,
     )
+    if any(d >= z.shape[1] for d in mcfg.log_condition_dims):
+        raise ValueError(
+            f"MNLE_LOG_THETA_DIMS={mcfg.log_condition_dims} outside the "
+            f"condition block (condition_dim={z.shape[1]})"
+        )
 
-    # Standardization stats ("independent" z-scoring, reference mnle.py:34-35).
-    cond_mean = jnp.mean(z, axis=0)
-    cond_std = jnp.maximum(jnp.std(z, axis=0), 1e-6)
+    # Standardization stats ("independent" z-scoring, reference mnle.py:34-35)
+    # computed on the (optionally log-reparameterized) conditioning view.
+    from .nets.mnle_net import transform_condition
+
+    z_cond = transform_condition(mcfg, z)
+    cond_mean = jnp.mean(z_cond, axis=0)
+    cond_std = jnp.maximum(jnp.std(z_cond, axis=0), 1e-6)
     rt = x[:, 0]
-    if mcfg.rt_rep == "pulse":
-        from .nets.mnle_net import pulse_grid_split
-
+    if mcfg.rt_rep in ("pulse", "shifted_log"):
         theta_dim_stats = theta_dim if theta_dim is not None else 5
         if mcfg.tnd_index >= theta_dim_stats:
             raise ValueError(
                 f"tnd_index={mcfg.tnd_index} outside theta block "
                 f"(theta_dim={theta_dim_stats})"
             )
+    if mcfg.rt_rep == "pulse":
+        from .nets.mnle_net import pulse_grid_split
+
         _, _, t, _, _ = pulse_grid_split(mcfg, rt, z[:, mcfg.tnd_index])
+    elif mcfg.rt_rep == "shifted_log":
+        from .nets.mnle_net import shifted_rt_transform
+
+        t, _, _ = shifted_rt_transform(mcfg, rt, z)
     else:
         t = jnp.log(jnp.maximum(rt, 1e-37)) if mcfg.log_transform_x else rt
     if mcfg.censor_rt:
@@ -376,6 +393,109 @@ def load_model(filename: str = _DEFAULT_MODEL_FILENAME) -> MNLE:
         x_std=jnp.asarray(data["stat:x_std"]),
         train_meta=meta.get("train_meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep ensembles
+# ---------------------------------------------------------------------------
+class MNLEEnsemble:
+    """Uniform mixture of K independently trained MNLEs.
+
+    The ensemble's likelihood is the predictive mixture
+    ``log p(x|c) = logsumexp_k log p_k(x|c) - log K`` — the standard deep-
+    ensemble posterior-predictive for neural likelihood estimation. It
+    averages out seed/data-idiosyncratic estimator bias (the SBC rank
+    profile is model-determined here: per-dataset ranks correlate 0.8-0.98
+    across samplers for one model) and widens the likelihood exactly where
+    members disagree, countering the over-shrunk v/B response measured in
+    ``artifacts/calibration_censor_pt_96`` (corr(v_true, v_rank) = +0.38).
+
+    Duck-types the trained-``MNLE`` surface that potentials / MCMC / SBC
+    consume (``dispatch_log_prob``, ``log_prob_fn``, ``params``,
+    ``sample_fn``, ``cfg``, ``train_meta``); no reference counterpart —
+    the reference trains a single estimator (mnle.py:16-50).
+    """
+
+    def __init__(self, members):
+        members = tuple(members)
+        if not members:
+            raise ValueError("MNLEEnsemble needs at least one member")
+        c0 = members[0].cfg
+        for m in members[1:]:
+            if m.cfg != c0:
+                raise ValueError(
+                    "ensemble members must share one MNLEConfig "
+                    f"(got {m.cfg} vs {c0})"
+                )
+        self.members = members
+        # Stable tuple object so potentials' fused-path identity guard
+        # (`params is not est.params`) works for ensembles too.
+        self.params = tuple(m.params for m in members)
+        self.cfg = c0
+        self.cond_mean = members[0].cond_mean
+        self.cond_std = members[0].cond_std
+        self.x_mean = members[0].x_mean
+        self.x_std = members[0].x_std
+        metas = [m.train_meta or {} for m in members]
+        self.train_meta = {
+            "ensemble_size": len(members),
+            "num_train": sum(t.get("num_train") or 0 for t in metas) or None,
+            "num_train_per_member": [t.get("num_train") for t in metas],
+            "best_val_loss": [t.get("best_val_loss") for t in metas],
+        }
+
+    def __len__(self):
+        return len(self.members)
+
+    def log_prob_fn(self, params, x, condition):
+        lps = jnp.stack(
+            [
+                m.log_prob_fn(p, x, condition)
+                for m, p in zip(self.members, params)
+            ]
+        )
+        return jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(len(self.members))
+
+    def log_prob(self, x, condition):
+        return self.log_prob_fn(self.params, jnp.asarray(x), jnp.asarray(condition))
+
+    def dispatch_log_prob(self, kernel: str = "auto", *, interpret: bool = False):
+        fns = [
+            m.dispatch_log_prob(kernel, interpret=interpret)
+            for m in self.members
+        ]
+        logk = jnp.log(float(len(fns)))
+
+        def lp(x, condition):
+            lps = jnp.stack([f(x, condition) for f in fns])
+            return jax.scipy.special.logsumexp(lps, axis=0) - logk
+
+        return lp
+
+    def sample_fn(self, params, key, condition):
+        """Mixture draw: pick a member uniformly per condition row."""
+        k_idx, k_draw = jax.random.split(as_key(key))
+        condition = jnp.asarray(condition)
+        rows = condition.shape[0] if condition.ndim > 1 else 1
+        idx = jax.random.randint(k_idx, (rows,), 0, len(self.members))
+        draws = jnp.stack(
+            [
+                m.sample_fn(p, jax.random.fold_in(k_draw, i), condition)
+                for i, (m, p) in enumerate(zip(self.members, params))
+            ]
+        )  # (K, rows, 2)
+        return jnp.take_along_axis(draws, idx[None, :, None], axis=0)[0]
+
+    def sample(self, key, condition):
+        return self.sample_fn(self.params, key, jnp.asarray(condition))
+
+
+def load_ensemble(filenames) -> MNLEEnsemble:
+    """Build an :class:`MNLEEnsemble` from saved member files (accepts a
+    list or one comma-separated string of ``save_model`` filenames)."""
+    if isinstance(filenames, str):
+        filenames = [f for f in filenames.split(",") if f]
+    return MNLEEnsemble([load_model(f) for f in filenames])
 
 
 # ---------------------------------------------------------------------------
@@ -747,6 +867,10 @@ def _run_sbc_batched(
 
     np.save(outdir / "sbc_thetas_true.npy", thetas_true_np)
     np.save(outdir / "sbc_ranks.npy", ranks)
+    # Full pooled posterior draws (D, S, dim): enables post-hoc analyses —
+    # thinning/autocorrelation checks on the rank statistic, per-dataset
+    # posterior inspection — without re-running the SBC (~1 MB at 96x600x5).
+    np.save(outdir / "sbc_samples.npy", samples_np.astype(np.float32))
     rhat_np = np.asarray(rhat_per_ds[:D])
     ess_np = np.asarray(ess_per_ds[:D])
     np.savez(

@@ -101,7 +101,31 @@ class MNLEConfig:
     # and phi in (0,1) the within-interval phase, flowed through a logit so
     # the density is exactly normalized on (0,1). Requires censor_rt=True
     # (the censored atom is handled by the choice head).
+    #
+    # "shifted_log" models the DECISION TIME directly: t = log(rt - t_nd),
+    # with t_nd read from the condition (theta[tnd_index]). The hard response
+    # onset rt = t_nd — the feature that identifies t_nd from data — is built
+    # into the representation instead of being learned: the density is
+    # exactly zero (a steep finite barrier, for sane NUTS gradients) for
+    # rt <= t_nd, and the flow learns the decision-time shape, which is far
+    # more stationary across theta than the shifted RT density. Motivated by
+    # the measured onset-leak bias of the "log" rep at 10M budget
+    # (artifacts/calibration_censor10m_pt6_96: tau mean rank 147/600 — the
+    # smoothed onset leaks density below t_nd, so matching the observed
+    # min-RT pushes the t_nd posterior up). This is the standard shifted
+    # response-time construction in the DDM literature; no reference
+    # counterpart (the reference flows over log rt, mnle.py:31-39). Requires
+    # censor_rt=True.
     rt_rep: str = "log"
+    # Condition dims to log-transform before z-scoring (conditioning only —
+    # x is untouched, so no density correction). Motivation: the prior puts
+    # LogNormal tails on lam/v/B (pipeline.build_prior_theta), so raw
+    # z-scoring parks the tail (v up to ~26 = +12 sigma) in the trunk's
+    # saturation zone and the learned likelihood flattens there — the
+    # measured SBC shrinkage corr(v_true, v_rank) = +0.2..0.4 shared by
+    # EVERY raw-conditioned model (artifacts/calibration_*_96). Log-scaling
+    # those dims makes the conditioner resolve multiplicative structure.
+    log_condition_dims: tuple = ()
     num_pulse_slots: int = 80
     pulse_interval: float = 0.1
     euler_dt: float = 5e-4
@@ -120,6 +144,46 @@ class MNLEConfig:
     # CIRCULAR RQ splines (uniform base) so the peak can sit anywhere on
     # the circle, including the wrap point.
     grid_anchor: str = "absolute"
+
+    def __post_init__(self):
+        # JSON round-trips tuples as lists; keep the config hashable.
+        object.__setattr__(
+            self, "log_condition_dims", tuple(self.log_condition_dims)
+        )
+
+
+def transform_condition(cfg: "MNLEConfig", condition):
+    """Log-transform ``cfg.log_condition_dims`` of the condition (before
+    z-scoring). Pure conditioning reparameterization: the modeled x is
+    untouched, so no Jacobian correction; gradients w.r.t. theta flow
+    through the log (and are better scaled on multiplicative parameters)."""
+    if not cfg.log_condition_dims:
+        return condition
+    idx = jnp.asarray(cfg.log_condition_dims, jnp.int32)
+    vals = jnp.log(jnp.maximum(condition[..., idx], 1e-37))
+    return condition.at[..., idx].set(vals)
+
+
+def shifted_rt_transform(cfg: "MNLEConfig", rt, condition):
+    """(rt_rep="shifted_log") rt -> t = log(rt - t_nd), with
+    t_nd = condition[..., cfg.tnd_index].
+
+    Returns ``(t, log_det, barrier)``: the transformed coordinate, the
+    change-of-variables term |d t / d rt| = 1/(rt - t_nd) in log space
+    (= -t), and a barrier that is 0 on the support rt > t_nd and a steep
+    finite penalty (slope ~1e4 per second of violation, so NUTS gets a
+    restoring gradient instead of a NaN cliff) below it. exp(-1e4) == 0 in
+    float, so the sub-onset density is exactly zero for MH purposes while
+    the clamped log keeps every intermediate finite.
+    """
+    tau = condition[..., cfg.tnd_index]
+    dt = rt - tau
+    floor = jnp.float32(1e-6)
+    t = jnp.log(jnp.maximum(dt, floor))
+    barrier = jnp.where(
+        dt > floor, jnp.float32(0.0), -1e4 * (1.0 + (floor - dt))
+    )
+    return t, -t, barrier
 
 
 def pulse_grid_split(cfg: "MNLEConfig", rt, t_nd):
@@ -405,7 +469,7 @@ class MNLE:
         rt = x[..., 0]
         choice = x[..., 1].astype(jnp.int32)
 
-        c = condition
+        c = transform_condition(cfg, condition)
         if cfg.z_score_theta:
             c = (c - self.cond_mean) / self.cond_std
 
@@ -441,8 +505,12 @@ class MNLE:
             return cat_lp + not_censored * rt_term
 
         log_det = jnp.zeros_like(rt)
+        barrier = jnp.zeros_like(rt)
         t = rt
-        if cfg.log_transform_x:
+        if cfg.rt_rep == "shifted_log":
+            t, ld, barrier = shifted_rt_transform(cfg, rt, condition)
+            log_det = log_det + ld
+        elif cfg.log_transform_x:
             t_safe = jnp.maximum(t, 1e-37)
             log_det = log_det - jnp.log(t_safe)  # |d log(rt)/d rt| = 1/rt
             t = jnp.log(t_safe)
@@ -459,8 +527,8 @@ class MNLE:
             # point-mass rows during training, since the training loss is
             # -mean(log_prob).
             not_censored = (choice != cfg.censored_category).astype(flow_lp.dtype)
-            return cat_lp + not_censored * (flow_lp + log_det)
-        return cat_lp + flow_lp + log_det
+            return cat_lp + not_censored * (flow_lp + log_det + barrier)
+        return cat_lp + flow_lp + log_det + barrier
 
     def log_prob(self, x, condition):
         return self.log_prob_fn(self.params, jnp.asarray(x), jnp.asarray(condition))
@@ -495,7 +563,7 @@ class MNLE:
     def sample_fn(self, params, key, condition):
         """One (rt, choice) draw per condition row; condition: (..., d)."""
         cfg = self.cfg
-        c = condition
+        c = transform_condition(cfg, condition)
         if cfg.z_score_theta:
             c = (c - self.cond_mean) / self.cond_std
         k_cat, k_flow = jax.random.split(key)
@@ -528,7 +596,9 @@ class MNLE:
             t = u
             if cfg.z_score_x:
                 t = t * self.x_std + self.x_mean
-            if cfg.log_transform_x:
+            if cfg.rt_rep == "shifted_log":
+                t = condition[..., cfg.tnd_index] + jnp.exp(t)
+            elif cfg.log_transform_x:
                 t = jnp.exp(t)
         if cfg.censor_rt:
             from ..constants import T_MAX
@@ -550,12 +620,12 @@ def build_mnle(
     x_std=1.0,
 ) -> MNLE:
     """Initialize an untrained MNLE with given standardization stats."""
-    if cfg.rt_rep == "pulse" and not cfg.censor_rt:
+    if cfg.rt_rep in ("pulse", "shifted_log") and not cfg.censor_rt:
         raise ValueError(
-            "rt_rep='pulse' requires censor_rt=True: the censored atom is "
-            "handled by the choice head, not the RT grid"
+            f"rt_rep={cfg.rt_rep!r} requires censor_rt=True: the censored "
+            "atom is handled by the choice head, not the RT flow"
         )
-    if cfg.rt_rep not in ("log", "pulse"):
+    if cfg.rt_rep not in ("log", "pulse", "shifted_log"):
         raise ValueError(f"unknown rt_rep {cfg.rt_rep!r}")
     net = MNLENet(cfg)
     u0 = jnp.zeros((1,), jnp.float32)

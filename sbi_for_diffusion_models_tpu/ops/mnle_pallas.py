@@ -392,7 +392,13 @@ def make_fused_logprob(
 
     # ---- outer transforms (identical math to MNLE.log_prob_fn) ------------
     est = estimator
-    from ..nets.mnle_net import MNLENet, _slot_features, pulse_grid_split
+    from ..nets.mnle_net import (
+        MNLENet,
+        _slot_features,
+        pulse_grid_split,
+        shifted_rt_transform,
+        transform_condition,
+    )
 
     def log_prob(x, condition):
         x = jnp.asarray(x, jnp.float32)
@@ -403,7 +409,7 @@ def make_fused_logprob(
 
         rt = x[..., 0]
         choice = x[..., 1].astype(jnp.int32)
-        c = condition
+        c = transform_condition(cfg, condition)
         if cfg.z_score_theta:
             c = (c - est.cond_mean) / est.cond_std
         onehot = jax.nn.one_hot(choice, cfg.num_categories)
@@ -428,7 +434,10 @@ def make_fused_logprob(
 
         log_det = jnp.zeros_like(rt)
         t = rt
-        if cfg.log_transform_x:
+        if cfg.rt_rep == "shifted_log":
+            t, ld, barrier = shifted_rt_transform(cfg, rt, condition)
+            log_det = log_det + ld + barrier
+        elif cfg.log_transform_x:
             t_safe = jnp.maximum(t, 1e-37)
             log_det = log_det - jnp.log(t_safe)
             t = jnp.log(t_safe)
@@ -438,7 +447,7 @@ def make_fused_logprob(
         if cfg.censor_rt:
             # Censored rows carry no RT terms at all (kernel masks the
             # in-kernel spline log-det + base; the outer change-of-variables
-            # correction is masked here).
+            # correction + onset barrier are masked here).
             log_det = jnp.where(choice == cfg.censored_category, 0.0, log_det)
 
         lp = fused_rows(

@@ -84,7 +84,11 @@ class RunConfig:
     # P(choice | z) instead of a smoothed point-mass density. False = the
     # reference estimator's behavior.
     MNLE_CENSOR_RT: bool = False
-    # RT representation: "log" (reference-style flow over log RT) or "pulse"
+    # RT representation: "log" (reference-style flow over log RT),
+    # "shifted_log" (flow over log decision time log(rt - t_nd): the hard
+    # response onset is built into the representation, fixing the "log"
+    # rep's measured onset-leak t_nd bias at high budget — see
+    # nets/mnle_net.MNLEConfig.rt_rep; requires MNLE_CENSOR_RT), or "pulse"
     # (physics-informed slot/phase factorization on the pulse grid; requires
     # MNLE_CENSOR_RT). See nets/mnle_net.MNLEConfig.rt_rep.
     # STATUS ("pulse"): research scaffolding — statistically UNCALIBRATED.
@@ -96,6 +100,14 @@ class RunConfig:
     # circular phase flow; smooth potential) or "tnd" (slots anchored at the
     # trial's t_nd; exact atom pinning but a discontinuous potential).
     MNLE_GRID_ANCHOR: str = "absolute"
+    # Condition dims to log-transform before z-scoring (conditioning-only
+    # reparameterization, no density correction). () = reference behavior
+    # (raw z-scoring). (1, 2, 3) = the pipeline prior's LogNormal dims
+    # (lam, v, B, pipeline.build_prior_theta) — raw z-scoring parks their
+    # tails (v up to ~26 = +12 sigma) in trunk saturation, producing the
+    # measured shared SBC shrinkage corr(v_true, v_rank) = +0.2..0.4
+    # (artifacts/calibration_*_96 round 3 analysis).
+    MNLE_LOG_THETA_DIMS: tuple = ()
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4

@@ -496,3 +496,237 @@ def test_pulse_rep_warns_uncalibrated():
         warnings.simplefilter("always")
         train_mnle(cfg, prop, z, x, seed=0, verbose=False)
     assert any("UNCALIBRATED" in str(w.message) for w in rec)
+
+
+# ---------------------------------------------------------------------------
+# Log-theta conditioning (MNLE_LOG_THETA_DIMS / MNLEConfig.log_condition_dims)
+# ---------------------------------------------------------------------------
+def test_log_condition_dims_equals_manual_pretransform():
+    """log_prob with log_condition_dims == log_prob of a raw-conditioned
+    twin evaluated on the pre-logged condition (same params/stats)."""
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import transform_condition
+
+    cfg_log = MNLEConfig(
+        condition_dim=4, num_categories=3, log_condition_dims=(1, 2), **SMALL
+    )
+    cfg_raw = MNLEConfig(condition_dim=4, num_categories=3, **SMALL)
+    est_log = build_mnle(jax.random.key(0), cfg_log)
+    est_raw = build_mnle(jax.random.key(0), cfg_raw)  # same init key
+    x = jnp.array([[0.5, 1.0], [2.0, 0.0], [0.9, 2.0]])
+    cond = jnp.abs(jax.random.normal(jax.random.key(1), (3, 4))) + 0.1
+    got = est_log.log_prob(x, cond)
+    want = est_raw.log_prob(x, transform_condition(cfg_log, cond))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_log_condition_dims_normalizes():
+    cfg = MNLEConfig(
+        condition_dim=4, num_categories=3, log_condition_dims=(1, 2), **SMALL
+    )
+    est = build_mnle(jax.random.key(2), cfg)
+    cond = jnp.abs(jax.random.normal(jax.random.key(3), (4,))) + 0.1
+    rts = jnp.linspace(1e-3, 60.0, 8000)
+    total = 0.0
+    for c in range(3):
+        x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 4)))
+        total += jnp.trapezoid(jnp.exp(lp), rts)
+    assert abs(float(total) - 1.0) < 0.02
+
+
+def test_log_theta_dims_train_and_roundtrip(tmp_path, monkeypatch):
+    """train_mnle computes stats on the logged view, persists the tuple
+    through save/load, and the gradient w.r.t. condition is finite."""
+    monkeypatch.setenv("MODEL_DIR", str(tmp_path))
+    key = jax.random.key(5)
+    N = 600
+    z = jnp.abs(jax.random.normal(jax.random.fold_in(key, 0), (N, 4))) + 0.05
+    rt = jnp.exp(
+        0.4 * jnp.log(z[:, 1]) + 0.2 * jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    )
+    choice = (jax.random.uniform(jax.random.fold_in(key, 2), (N,)) < 0.5).astype(
+        jnp.float32
+    )
+    x = jnp.stack([rt, choice], -1)
+    cfg = RUN_CONFIG_PARAMS.replace(
+        TRAIN_BATCH_SIZE=200,
+        TRAIN_MAX_EPOCHS=3,
+        TRAIN_STOP_AFTER_EPOCHS=3,
+        MNLE_HIDDEN_FEATURES=32,
+        MNLE_NUM_TRANSFORMS=3,
+        MNLE_NUM_BINS=8,
+        MNLE_LOG_THETA_DIMS=(1, 2),
+    )
+    est = train_mnle(cfg, None, z, x, verbose=False)
+    assert est.cfg.log_condition_dims == (1, 2)
+    # stats computed on the logged view: mean of logged col 1
+    np.testing.assert_allclose(
+        float(est.cond_mean[1]), float(jnp.mean(jnp.log(z[:, 1]))), rtol=1e-5
+    )
+    save_model(est, cfg, filename="logdims.npz")
+    est2 = load_model("logdims.npz")
+    assert est2.cfg.log_condition_dims == (1, 2)  # JSON list -> tuple
+    xt, zt = x[:8], z[:8]
+    np.testing.assert_allclose(
+        np.asarray(est.log_prob(xt, zt)), np.asarray(est2.log_prob(xt, zt)),
+        rtol=1e-6,
+    )
+    g = jax.grad(lambda c: jnp.sum(est.log_prob(xt, c)))(zt)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_log_theta_dims_out_of_range_rejected():
+    cfg = RUN_CONFIG_PARAMS.replace(
+        MNLE_HIDDEN_FEATURES=32, MNLE_NUM_TRANSFORMS=3, MNLE_NUM_BINS=8,
+        MNLE_LOG_THETA_DIMS=(9,),
+    )
+    z = jnp.ones((50, 4))
+    x = jnp.stack([jnp.ones(50), jnp.zeros(50)], -1)
+    with pytest.raises(ValueError, match="outside the condition block"):
+        train_mnle(cfg, None, z, x, verbose=False)
+
+
+def test_log_condition_dims_fused_parity():
+    """The Pallas fused path applies the same conditioning transform."""
+    from sbi_for_diffusion_models_tpu.ops.mnle_pallas import make_fused_logprob
+
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, log_condition_dims=(1, 2, 3),
+        hidden_features=32, num_transforms=4, num_bins=8,
+    )
+    base = build_mnle(jax.random.key(7), cfg)
+    est = base.__class__(
+        cfg=cfg,
+        params=base.params,
+        cond_mean=0.1 * jnp.arange(9, dtype=jnp.float32),
+        cond_std=jnp.linspace(0.5, 2.0, 9),
+        x_mean=jnp.float32(0.3),
+        x_std=jnp.float32(1.7),
+        train_meta=None,
+    )
+    fused = make_fused_logprob(est, interpret=True)
+    k1, k2, k3 = jax.random.split(jax.random.key(8), 3)
+    rt = jnp.exp(0.5 * jax.random.normal(k1, (23,)))
+    choice = jax.random.randint(k2, (23,), 0, 3).astype(jnp.float32)
+    x = jnp.stack([rt, choice], -1)
+    cond = jnp.abs(jax.random.normal(k3, (23, 9))) + 0.1
+    np.testing.assert_allclose(
+        np.asarray(fused(x, cond)),
+        np.asarray(est.log_prob_fn(est.params, x, cond)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shifted-log RT representation (rt_rep="shifted_log": flow over decision
+# time log(rt - t_nd); hard onset built into the representation)
+# ---------------------------------------------------------------------------
+def _shifted_small_est(key=31):
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, **SMALL,
+    )
+    return build_mnle(jax.random.key(key), cfg), cfg
+
+
+def test_shifted_log_normalizes():
+    """p(rt, c=0..1 | z) must integrate (over rt in (t_nd, inf)) to
+    1 - P(censored): the shifted-log change of variables is exact."""
+    est, cfg = _shifted_small_est()
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.key(32), (4,)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses])
+    # integrate in decision-time space (log-spaced grid covers the spike)
+    dts = jnp.exp(jnp.linspace(jnp.log(1e-5), jnp.log(200.0), 8000))
+    total = 0.0
+    for c in (0, 1):
+        rts = float(theta[4]) + dts
+        x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 9)))
+        total += jnp.trapezoid(jnp.exp(lp), rts)
+    logits = est._net.apply(
+        {"params": est.params},
+        est._net.apply({"params": est.params},
+                       (cond - est.cond_mean) / est.cond_std, cond,
+                       method=est._net.make_context),
+        method=est._net.choice_logits,
+    )
+    p_cens = float(jnp.exp(logits[2]))
+    assert abs(float(total) + p_cens - 1.0) < 0.02, (
+        f"sum over non-censored = {float(total)}, P(cens) = {p_cens}"
+    )
+
+
+def test_shifted_log_zero_below_onset():
+    """Density for rt <= t_nd is numerically zero (steep finite barrier),
+    and the barrier's gradient w.r.t. the condition points back into the
+    support (restoring force for NUTS)."""
+    est, cfg = _shifted_small_est()
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.4], jnp.float32)
+    cond = jnp.concatenate([theta, jnp.ones((4,), jnp.float32)])
+    x = jnp.array([[0.35, 0.0]])  # rt < t_nd = 0.4
+    lp = est.log_prob(x, cond[None])
+    assert float(lp[0]) < -1e3
+    # gradient w.r.t. t_nd: decreasing t_nd (toward support) must raise logp
+    g = jax.grad(
+        lambda c: est.log_prob_fn(est.params, x, c[None])[0]
+    )(cond)
+    assert float(g[4]) < 0.0
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_shifted_log_samples_respect_onset():
+    est, cfg = _shifted_small_est()
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.47], jnp.float32)
+    cond = jnp.broadcast_to(
+        jnp.concatenate([theta, jnp.ones((4,), jnp.float32)]), (256, 9)
+    )
+    s = est.sample(jax.random.key(33), cond)
+    rt, choice = np.asarray(s[..., 0]), np.asarray(s[..., 1])
+    assert (rt[choice != 2] > 0.47).all()
+
+
+def test_shifted_log_requires_censoring():
+    cfg = MNLEConfig(
+        condition_dim=9, rt_rep="shifted_log", censor_rt=False, **SMALL
+    )
+    with pytest.raises(ValueError, match="censor_rt"):
+        build_mnle(jax.random.key(0), cfg)
+
+
+def test_shifted_log_train_recovers_onset():
+    """Train on synthetic data rt = t_nd + LogNormal decision time: the
+    learned likelihood must place the onset at t_nd — evaluating a dataset
+    against a shifted t_nd condition must score far lower than the truth.
+    This is the representation's raison d'etre (the 'log' rep's smoothed
+    onset produced the measured tau bias, artifacts/calibration_censor10m_
+    pt6_96)."""
+    key = jax.random.key(34)
+    N = 4000
+    tnd = jax.random.uniform(jax.random.fold_in(key, 0), (N,), minval=0.1,
+                             maxval=0.9)
+    dt = jnp.exp(-1.5 + 0.4 * jax.random.normal(jax.random.fold_in(key, 1), (N,)))
+    rt = tnd + dt
+    choice = (jax.random.uniform(jax.random.fold_in(key, 2), (N,)) < 0.5
+              ).astype(jnp.float32)
+    z = jnp.stack([
+        jnp.ones((N,)), jnp.ones((N,)), jnp.ones((N,)), jnp.ones((N,)), tnd
+    ], -1)
+    x = jnp.stack([rt, choice], -1)
+    cfg = RUN_CONFIG_PARAMS.replace(
+        TRAIN_BATCH_SIZE=500, TRAIN_MAX_EPOCHS=60, TRAIN_STOP_AFTER_EPOCHS=60,
+        MNLE_HIDDEN_FEATURES=32, MNLE_NUM_TRANSFORMS=3, MNLE_NUM_BINS=8,
+        MNLE_RT_REP="shifted_log", MNLE_CENSOR_RT=True,
+    )
+    est = train_mnle(cfg, None, z, x, seed=0, verbose=False)
+    # score a held-out mini-dataset under true vs shifted t_nd
+    m = 64
+    cond_true = jnp.stack([jnp.ones((m,))] * 4 + [jnp.full((m,), 0.5)], -1)
+    dt_o = jnp.exp(-1.5 + 0.4 * jax.random.normal(jax.random.fold_in(key, 3), (m,)))
+    x_o = jnp.stack([0.5 + dt_o, jnp.zeros((m,))], -1)
+    lp_true = float(est.log_prob(x_o, cond_true).sum())
+    cond_hi = cond_true.at[:, 4].set(0.5 + 0.15)  # onset above some rts
+    lp_hi = float(est.log_prob(x_o, cond_hi).sum())
+    assert lp_true > lp_hi + 100.0, (lp_true, lp_hi)

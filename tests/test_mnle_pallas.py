@@ -167,3 +167,48 @@ def test_fused_pulse_rep_value_and_grad_parity():
     gv_f = jax.vmap(jax.grad(lambda t: pot(fused, t)))(ths)
     np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_shifted_log_value_and_grad_parity():
+    """rt_rep="shifted_log": the fused path's outer transform (decision-time
+    log + onset barrier, masked on censored rows) must match the XLA
+    log_prob_fn in value and in theta-gradient (incl. through t_nd, which
+    now enters the x-transform, not just the conditioning)."""
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, **SMALL,
+    )
+    est = build_mnle(jax.random.key(11), cfg)
+    fused = make_fused_logprob(est, interpret=True)
+    T = 13
+    key = jax.random.key(12)
+    theta = jnp.abs(jax.random.normal(jax.random.fold_in(key, 0), (T, 5))) + 0.2
+    theta = theta.at[:, 4].set(
+        0.2 + 0.6 * jax.random.uniform(jax.random.fold_in(key, 1), (T,))
+    )
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.fold_in(key, 2), (T, 4)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses], -1)
+    rt = theta[:, 4] + jnp.exp(
+        -1.0 + 0.5 * jax.random.normal(jax.random.fold_in(key, 3), (T,))
+    )
+    choice = jax.random.randint(jax.random.fold_in(key, 5), (T,), 0, 3)
+    x = jnp.stack([rt, choice.astype(jnp.float32)], -1)
+
+    ref = est.log_prob_fn(est.params, x, cond)
+    got = fused(x, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
+
+    def pot(fn, th):
+        c = jnp.concatenate([jnp.broadcast_to(th, (T, 5)), pulses], -1)
+        return jnp.sum(fn(x, c))
+
+    th0 = theta[0]
+    g_ref = jax.grad(lambda t: pot(
+        lambda a, b: est.log_prob_fn(est.params, a, b), t))(th0)
+    g_f = jax.grad(lambda t: pot(fused, t))(th0)
+    assert np.isfinite(np.asarray(g_f)).all()
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=1e-4,
+                               atol=1e-4)
