@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-3 TPU experiment queue. ONE TPU process at a time (CLAUDE.md);
+# everything here runs sequentially. Each stage logs to /tmp/q_<name>.log
+# and failures do not block later stages.
+#
+# Stages (VERDICT round-2 items in parens):
+#   wait  — poll until the axon TPU answers (it has been down since ~23:28)
+#   e4b   — 1M shifted_log+log-theta SBC 96x600, PT6, soft onset barrier (#1)
+#   flag  — flagship: 10M shifted_log+log-theta train + SBC 96x600, PT6 (#1)
+#   thr   — MCMC throughput sweep with ESS/s headline (#5)
+#   roof  — VPU roofline + profiler trace (#8)
+#   hier  — hierarchical hyperparameter coverage (#6)
+set -u
+cd /root/repo
+
+stamp() { date +%H:%M:%S; }
+
+echo "$(stamp) waiting for TPU..."
+until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  echo "$(stamp) tpu still down"
+  sleep 120
+done
+echo "$(stamp) TPU BACK — starting queue"
+
+echo "$(stamp) [e4b] 1M shifted_log+logt SBC (reuse model)"
+rm -rf artifacts/calibration_shifted_logt_96
+timeout 10800 python benchmarks/calibration_run.py \
+  --sims 1000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+  --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+  --log-theta --reuse-model --model mnle_1m_shifted_logt.npz \
+  --outdir artifacts/calibration_shifted_logt_96 \
+  > /tmp/q_e4b.log 2>&1
+echo "$(stamp) [e4b] exit=$?"
+
+echo "$(stamp) [flag] 10M shifted_log+logt train + SBC"
+timeout 14400 python benchmarks/calibration_run.py \
+  --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+  --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+  --log-theta --model mnle_10m_shifted_logt.npz \
+  --outdir artifacts/calibration_shifted10m_96 \
+  > /tmp/q_flag.log 2>&1
+echo "$(stamp) [flag] exit=$?"
+
+echo "$(stamp) [thr] MCMC throughput (ESS/s headline)"
+timeout 7200 python benchmarks/mcmc_throughput.py --model mnle_10m_censor.npz \
+  > /tmp/q_thr.log 2>&1
+echo "$(stamp) [thr] exit=$?"
+
+echo "$(stamp) [roof] roofline + trace"
+timeout 3600 python benchmarks/roofline.py --trace artifacts/trace_r3 \
+  > /tmp/q_roof.log 2>&1
+echo "$(stamp) [roof] exit=$?"
+
+echo "$(stamp) [hier] hierarchical coverage"
+timeout 10800 python benchmarks/hierarchical_coverage.py \
+  --model mnle_1m_censor.npz \
+  > /tmp/q_hier.log 2>&1
+echo "$(stamp) [hier] exit=$?"
+
+echo "$(stamp) queue done"
