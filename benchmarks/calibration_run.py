@@ -257,6 +257,18 @@ def main():
             "n_datasets_rhat_gt_1p2": int(
                 np.sum(np.asarray(sbc["rhat_max"]) > 1.2)
             ),
+            "divergences_total": float(
+                np.nansum(np.asarray(sbc.get("divergences_per_dataset", [])))
+            )
+            if np.asarray(sbc.get("divergences_per_dataset", [])).size
+            else None,
+            "n_datasets_divergent": int(
+                np.nansum(
+                    np.asarray(sbc.get("divergences_per_dataset", [])) > 0
+                )
+            )
+            if np.asarray(sbc.get("divergences_per_dataset", [])).size
+            else None,
         },
     }
     (outdir / "summary.json").write_text(json.dumps(summary, indent=2))

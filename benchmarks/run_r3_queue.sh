@@ -41,20 +41,26 @@ timeout 14400 python benchmarks/calibration_run.py \
   > /tmp/q_flag.log 2>&1
 echo "$(stamp) [flag] exit=$?"
 
-echo "$(stamp) [thr] MCMC throughput (ESS/s headline)"
-timeout 7200 python benchmarks/mcmc_throughput.py --model mnle_10m_censor.npz \
-  > /tmp/q_thr.log 2>&1
-echo "$(stamp) [thr] exit=$?"
-
 echo "$(stamp) [roof] roofline + trace"
 timeout 3600 python benchmarks/roofline.py --trace artifacts/trace_r3 \
   > /tmp/q_roof.log 2>&1
 echo "$(stamp) [roof] exit=$?"
 
-echo "$(stamp) [hier] hierarchical coverage"
-timeout 10800 python benchmarks/hierarchical_coverage.py \
-  --model mnle_1m_censor.npz \
-  > /tmp/q_hier.log 2>&1
-echo "$(stamp) [hier] exit=$?"
+echo "$(stamp) [thr] MCMC throughput (ESS/s headline)"
+timeout 7200 python benchmarks/mcmc_throughput.py --model mnle_10m_censor.npz \
+  > /tmp/q_thr.log 2>&1
+echo "$(stamp) [thr] exit=$?"
+
+# hier stage removed: hierarchical coverage runs CPU-side (the benchmark
+# honors SDM_PLATFORM=cpu), freeing ~3h of TPU time for the SBC queue.
+
+echo "$(stamp) [pulsept] pulse rep under the hot PT ladder (VERDICT #4)"
+timeout 10800 python benchmarks/calibration_run.py \
+  --sims 1000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+  --pt-replicas 6 --pt-beta-min 0.04 --rt-rep pulse --grid-anchor absolute \
+  --reuse-model --model mnle_1m_pulseabs.npz \
+  --outdir artifacts/calibration_pulseabs_pt6_96 \
+  > /tmp/q_pulsept.log 2>&1
+echo "$(stamp) [pulsept] exit=$?"
 
 echo "$(stamp) queue done"

@@ -709,7 +709,7 @@ def _run_sbc_batched(
     n_groups = _math.ceil(D / G)
     pooled_groups = []
     accepts, divergences, swap_accepts = [], [], []
-    rhat_per_ds, ess_per_ds = [], []
+    rhat_per_ds, ess_per_ds, div_per_ds = [], [], []
 
     # Crash-resume guard: segment checkpoints are only valid for the same
     # (key, workload shape); clear any stale ones from a different run.
@@ -827,9 +827,22 @@ def _run_sbc_batched(
         from .inference.diagnostics import effective_sample_size, split_r_hat
 
         cold_np = np.asarray(theta_cold)  # (G, C, S, dim)
+        # Per-dataset divergence counts over the cold chains (NUTS only):
+        # divergences concentrate on datasets whose posterior mass piles
+        # against hard likelihood boundaries (e.g. the shifted-log onset
+        # wall), and a pooled per-group count hides which ones.
+        div_cold = None
+        if "diverging" in info and np.asarray(info["diverging"]).ndim == 2:
+            div_np = np.asarray(info["diverging"])[:n_real_chains]
+            div_cold = (
+                div_np.reshape(G, C, R, -1)[:, :, 0].sum(axis=(1, 2))
+            )  # (G,)
         for gi in range(G):
             if lo + gi >= D:
                 break  # wrap-around padding of the final group
+            div_per_ds.append(
+                float(div_cold[gi]) if div_cold is not None else float("nan")
+            )
             if C >= 2 and per_chain >= 10:
                 rhat_per_ds.append(float(np.max(split_r_hat(cold_np[gi]))))
                 ess_per_ds.append(
@@ -873,10 +886,12 @@ def _run_sbc_batched(
     np.save(outdir / "sbc_samples.npy", samples_np.astype(np.float32))
     rhat_np = np.asarray(rhat_per_ds[:D])
     ess_np = np.asarray(ess_per_ds[:D])
+    div_np = np.asarray(div_per_ds[:D])
     np.savez(
         outdir / "sbc_mixing_diagnostics.npz",
         rhat_max=rhat_np,
         min_ess=ess_np,
+        divergences=div_np,
     )
     if verbose:
         print(f"[run_sbc] wrote {outdir / 'sbc_thetas_true.npy'}")
@@ -895,6 +910,7 @@ def _run_sbc_batched(
         "all_samples": [samples_np[i] for i in range(D)],
         "rhat_max": rhat_np,
         "min_ess": ess_np,
+        "divergences_per_dataset": div_np,
         "swap_accept": [s for s in swap_accepts if s is not None] or None,
     }
 

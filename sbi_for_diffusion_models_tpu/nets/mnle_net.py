@@ -170,19 +170,25 @@ def shifted_rt_transform(cfg: "MNLEConfig", rt, condition):
 
     Returns ``(t, log_det, barrier)``: the transformed coordinate, the
     change-of-variables term |d t / d rt| = 1/(rt - t_nd) in log space
-    (= -t), and a barrier that is 0 on the support rt > t_nd and a steep
-    finite penalty (slope ~1e4 per second of violation, so NUTS gets a
-    restoring gradient instead of a NaN cliff) below it. exp(-1e4) == 0 in
-    float, so the sub-onset density is exactly zero for MH purposes while
-    the clamped log keeps every intermediate finite.
+    (= -t), and a gentle linear barrier (0 on the support rt > t_nd,
+    slope -50 per second of violation below it).
+
+    Below-onset suppression is dominated by the clamped log itself, not
+    the barrier: dt <= floor gives t = log(1e-6) ~ -13.8, which after
+    z-scoring sits ~10+ sigmas into the flow's Gaussian tail — roughly
+    -70 log-density units PER VIOLATING TRIAL (exp(-70) ~ 4e-31, zero for
+    MH purposes). The barrier only restores a gradient on the clamp's
+    plateau so NUTS is guided back into the support. An earlier steep
+    variant (slope 1e4) triggered divergence storms on datasets whose
+    posterior mass piles against the onset wall (hundreds of divergences
+    per SBC group); the leapfrog energy-error scale of this version is
+    ~50 * step, well under the divergence threshold.
     """
     tau = condition[..., cfg.tnd_index]
     dt = rt - tau
     floor = jnp.float32(1e-6)
     t = jnp.log(jnp.maximum(dt, floor))
-    barrier = jnp.where(
-        dt > floor, jnp.float32(0.0), -1e4 * (1.0 + (floor - dt))
-    )
+    barrier = -50.0 * jax.nn.relu(floor - dt)
     return t, -t, barrier
 
 

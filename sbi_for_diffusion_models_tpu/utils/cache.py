@@ -20,6 +20,16 @@ _DEFAULT_DIR = "/root/repo/.jax_cache"
 
 
 def enable_persistent_cache(directory: str | None = None) -> str:
+    # SDM_PLATFORM overrides the backend from inside Python. Needed because
+    # the environment's sitecustomize pins JAX_PLATFORMS=axon at interpreter
+    # start, clobbering shell exports — so `JAX_PLATFORMS=cpu python
+    # benchmarks/...` silently still targets the TPU tunnel (and hangs when
+    # the tunnel is down). Benchmarks call this helper before their first
+    # backend use, making it the one reliable in-process hook.
+    plat = os.environ.get("SDM_PLATFORM")
+    if plat:
+        os.environ["JAX_PLATFORMS"] = plat
+        jax.config.update("jax_platforms", plat)
     d = directory or os.environ.get("JAX_CACHE_DIR", _DEFAULT_DIR)
     Path(d).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)

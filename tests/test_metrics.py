@@ -60,3 +60,17 @@ def test_sbc_ecdf_plot(tmp_path):
     ranks = rng.integers(0, 601, size=(48, 5))
     out = sbc_ecdf_plot(ranks, 600, tmp_path / "ecdf.png")
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_enable_persistent_cache_platform_override(tmp_path, monkeypatch):
+    """SDM_PLATFORM forces the backend from inside Python — the only hook
+    that survives the environment's sitecustomize JAX_PLATFORMS pin
+    (CLAUDE.md: shell exports are clobbered at interpreter start)."""
+    import os
+
+    from sbi_for_diffusion_models_tpu.utils.cache import enable_persistent_cache
+
+    monkeypatch.setenv("SDM_PLATFORM", "cpu")
+    d = enable_persistent_cache(str(tmp_path / "cache"))
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    assert (tmp_path / "cache").is_dir() and d == str(tmp_path / "cache")

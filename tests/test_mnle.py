@@ -660,15 +660,16 @@ def test_shifted_log_normalizes():
 
 
 def test_shifted_log_zero_below_onset():
-    """Density for rt <= t_nd is numerically zero (steep finite barrier),
-    and the barrier's gradient w.r.t. the condition points back into the
-    support (restoring force for NUTS)."""
+    """Density for rt <= t_nd is numerically zero (clamped log -> flow
+    Gaussian tail, ~-70 log-units per violating trial, plus a gentle
+    linear barrier), and the gradient w.r.t. the condition points back
+    into the support (restoring force for NUTS)."""
     est, cfg = _shifted_small_est()
     theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.4], jnp.float32)
     cond = jnp.concatenate([theta, jnp.ones((4,), jnp.float32)])
     x = jnp.array([[0.35, 0.0]])  # rt < t_nd = 0.4
     lp = est.log_prob(x, cond[None])
-    assert float(lp[0]) < -1e3
+    assert float(lp[0]) < -50.0
     # gradient w.r.t. t_nd: decreasing t_nd (toward support) must raise logp
     g = jax.grad(
         lambda c: est.log_prob_fn(est.params, x, c[None])[0]

@@ -62,6 +62,11 @@ def test_run_sbc_batched_shapes_and_files(tiny_setup, tmp_path):
     s = out["all_samples"][0]
     assert (s[:, 0] > 0).all() and (s[:, 0] < 1).all()
     assert (s[:, 1:4] > 0).all()
+    # Per-dataset divergence counts (NUTS path): finite and non-negative.
+    div = np.asarray(out["divergences_per_dataset"])
+    assert div.shape == (2,)
+    assert np.isfinite(div).all() and (div >= 0).all()
+    assert "divergences" in np.load(tmp_path / "sbc_mixing_diagnostics.npz")
 
 
 def test_run_sbc_serial_matches_interface(tiny_setup, tmp_path):
