@@ -55,17 +55,47 @@ class HierarchicalModel:
     log_tau_scale: jnp.ndarray
 
     @staticmethod
-    def from_prior(prior: Distribution, tau_scale: float = 0.5) -> "HierarchicalModel":
-        """Center the population prior on the single-subject prior: mu gets
-        the prior's unconstrained spread; tau ~ LogNormal(log 0.5, 0.5)."""
+    def from_prior(
+        prior: Distribution,
+        mu_frac: float = 0.75,
+        tau_frac: float = 0.4,
+        num_moment_samples: int = 8192,
+        seed: int = 0,
+    ) -> "HierarchicalModel":
+        """Moment-match the hyperprior to the single-subject prior.
+
+        The implied subject distribution u_sd = mu_d + tau_d * eps_sd must
+        put its mass where the MNLE surrogate was TRAINED (the single-subject
+        prior), because the surrogate is only a faithful likelihood there.
+        We estimate the prior's unconstrained per-dim moments (mean_d,
+        std_d) by pushing ``num_moment_samples`` prior draws through the
+        ``mcmc_transform`` bijection (deterministic key), then set
+
+            mu_d      ~ Normal(mean_d, mu_frac * std_d)
+            log tau_d ~ Normal(log(tau_frac * std_d), 0.4)
+
+        so the marginal subject variance is ~(mu_frac^2 + tau_frac^2 *
+        e^{0.32}) * std_d^2 ~ 0.78 std_d^2 — inside the trained support.
+
+        The previous default (mu_loc = 0, mu_scale = 1.5) was centered
+        wrongly for log-scale dims — e.g. the B prior LogNormal(2.75, 0.5)
+        has unconstrained mean 2.75, so hyperprior draws put subjects at
+        B ~ 1 where the estimator never saw data; measured effect:
+        hyperparameter-coverage mu ~ 0.4 at nominal 0.9 and the round-2
+        demo's 49% population error.
+        """
         bij = mcmc_transform(prior)
         D = bij.dim
+        theta = prior.sample(jax.random.key(seed), (num_moment_samples,))
+        u = bij.inverse(jnp.asarray(theta, jnp.float32))
+        mean_u = jnp.mean(u, axis=0)
+        std_u = jnp.std(u, axis=0)
         return HierarchicalModel(
             theta_dim=D,
-            mu_loc=jnp.zeros((D,), jnp.float32),
-            mu_scale=jnp.full((D,), 1.5, jnp.float32),
-            log_tau_loc=jnp.full((D,), float(np.log(tau_scale)), jnp.float32),
-            log_tau_scale=jnp.full((D,), 0.5, jnp.float32),
+            mu_loc=mean_u.astype(jnp.float32),
+            mu_scale=(mu_frac * std_u).astype(jnp.float32),
+            log_tau_loc=jnp.log(tau_frac * std_u).astype(jnp.float32),
+            log_tau_scale=jnp.full((D,), 0.4, jnp.float32),
         )
 
     # -- packing ------------------------------------------------------------
@@ -207,7 +237,18 @@ def run_hierarchical_inference(
         return model.log_prior(q, S) + jac + ll
 
     dim = model.dim(S)
-    init_q = 0.1 * jax.random.normal(jax.random.fold_in(key, 0), (num_chains, dim))
+    # Initialize at the hyperprior center (mu_loc is NOT zero for log-scale
+    # dims — e.g. the B dim's unconstrained mean is 2.75), jittered at ~1/10
+    # of each block's prior scale so chains start overdispersed-but-plausible.
+    center = jnp.concatenate(
+        [model.mu_loc, model.log_tau_loc, jnp.zeros(S * D, jnp.float32)]
+    )
+    scale = jnp.concatenate(
+        [model.mu_scale, model.log_tau_scale, jnp.ones(S * D, jnp.float32)]
+    )
+    init_q = center[None, :] + 0.1 * scale[None, :] * jax.random.normal(
+        jax.random.fold_in(key, 0), (num_chains, dim)
+    )
 
     if mesh is not None:
         from ..parallel.mesh import sharded_run_nuts

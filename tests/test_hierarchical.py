@@ -91,3 +91,33 @@ def test_simulate_returns_hyperparams():
         prior, num_subjects=3, trials_per_subject=2, seed=7
     )
     assert len(out) == 3
+
+
+def test_hyperprior_moment_matches_subject_prior():
+    """from_prior must center the hyperprior on the single-subject prior's
+    UNCONSTRAINED moments — not at zero. With the old zero-centered default,
+    the B dim (prior LogNormal(2.75, 0.5), unconstrained mean 2.75) drew
+    subjects at B ~ 1 where the MNLE surrogate was never trained; measured
+    effect: hyperparameter coverage ~0.4 at nominal 0.9."""
+    import jax.numpy as jnp
+
+    from sbi_for_diffusion_models_tpu.distributions import mcmc_transform
+
+    prior = build_prior_theta()
+    model = HierarchicalModel.from_prior(prior)
+    bij = mcmc_transform(prior)
+    u = bij.inverse(jnp.asarray(prior.sample(jax.random.key(99), (8192,))))
+    mean_u = np.asarray(u.mean(0))
+    std_u = np.asarray(u.std(0))
+    np.testing.assert_allclose(np.asarray(model.mu_loc), mean_u, atol=0.1)
+    # B dim specifically: centered near 2.75, nowhere near 0.
+    assert abs(float(model.mu_loc[3]) - 2.75) < 0.1
+    # Hyperprior spread is a fraction of the prior spread per dim.
+    np.testing.assert_allclose(
+        np.asarray(model.mu_scale) / std_u, 0.75, rtol=0.05
+    )
+    # Implied marginal subject std (mu_frac^2 + tau_frac^2 E[e^{2Z}]) stays
+    # within the trained prior spread.
+    tau2 = np.exp(2 * np.asarray(model.log_tau_loc) + 2 * 0.4**2)
+    marginal = np.sqrt(np.asarray(model.mu_scale) ** 2 + tau2)
+    assert (marginal < 1.05 * std_u).all()
