@@ -41,6 +41,34 @@ timeout 14400 python benchmarks/calibration_run.py \
   > /tmp/q_flag.log 2>&1
 echo "$(stamp) [flag] exit=$?"
 
+# Contingency: if the flagship 10M shifted_log run fails rank
+# uniformity on any dim, retry with a 2-member deep ensemble — ensembles
+# halve the idiosyncratic component of the rank variance (BENCH_NOTES
+# round-3 "Decomposing the estimator bias").
+flag_min_p=$(python - <<'EOF'
+import json, pathlib
+f = pathlib.Path("artifacts/calibration_shifted10m_96/summary.json")
+try:
+    s = json.loads(f.read_text())
+    print(min(s["ks_pvalues"] + s["chi2_pvalues"]))
+except Exception:
+    print("nan")
+EOF
+)
+if python -c "import sys; sys.exit(0 if not (float('$flag_min_p') > 0.01) else 1)"; then
+  echo "$(stamp) [ens] flagship min p=$flag_min_p <= 0.01 — 2-member 10M ensemble retry"
+  timeout 18000 python benchmarks/calibration_run.py \
+    --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+    --log-theta --ensemble 2 --model mnle_10m_shifted_logt_ens.npz \
+    --outdir artifacts/calibration_shifted10m_ens_96 \
+    > /tmp/q_ens.log 2>&1
+  echo "$(stamp) [ens] exit=$?"
+else
+  echo "$(stamp) [ens] flagship min p=$flag_min_p > 0.01 — ensemble retry not needed"
+fi
+
+
 echo "$(stamp) [roof] roofline + trace"
 timeout 3600 python benchmarks/roofline.py --trace artifacts/trace_r3 \
   > /tmp/q_roof.log 2>&1
