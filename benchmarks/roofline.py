@@ -209,11 +209,17 @@ def main():
         print("[roofline] no saved MNLE model; skipping fused-kernel row")
 
     if args.trace:
-        with jax.profiler.trace(args.trace):
-            _ = run(theta, pulses)
-            float(np.asarray(_).sum())
-        report["trace_dir"] = args.trace
-        print(f"[roofline] trace captured -> {args.trace}")
+        # Profiler capture through the axon tunnel is untested — never let a
+        # trace failure discard the measured roofline numbers above.
+        try:
+            with jax.profiler.trace(args.trace):
+                _ = run(theta, pulses)
+                float(np.asarray(_).sum())
+            report["trace_dir"] = args.trace
+            print(f"[roofline] trace captured -> {args.trace}")
+        except Exception as e:  # noqa: BLE001
+            report["trace_error"] = f"{type(e).__name__}: {e}"
+            print(f"[roofline] trace capture failed: {e}")
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
