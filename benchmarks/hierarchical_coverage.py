@@ -113,8 +113,19 @@ def main():
             f"mu covered {int(cover_mu[r].sum())}/{D}, "
             f"log_tau covered {int(cover_lt[r].sum())}/{D}, "
             f"worst R-hat {rhat_worst[r]:.3f} "
-            f"({time.time() - t_start:.0f}s)"
+            f"({time.time() - t_start:.0f}s)",
+            flush=True,
         )
+        # Partial results after every rep: a timeout/crash must not lose the
+        # completed repetitions (reps are ~5 min each on CPU).
+        partial = Path(args.out).with_suffix(".partial.json")
+        partial.parent.mkdir(parents=True, exist_ok=True)
+        partial.write_text(json.dumps({
+            "reps_done": r + 1,
+            "coverage_mu": float(cover_mu[: r + 1].mean()),
+            "coverage_log_tau": float(cover_lt[: r + 1].mean()),
+            "worst_rhat_per_rep": rhat_worst[: r + 1].tolist(),
+        }))
 
     n = args.reps * D
     cov_mu = float(cover_mu.mean())
