@@ -191,6 +191,14 @@ def main():
             run_one("c32x2pt-pallas-hop", chains=32, seg_len=25, mirror=8,
                     kernel="pallas", hop=True, pt_replicas=2)
         )
+        # The hot ladder that actually fixes mixing in SBC (R=6,
+        # beta_min=0.04 -> per-dataset split-R-hat <= 1.25 at 96 datasets):
+        # the honest information-throughput config, paying for 6 rungs.
+        rows.append(
+            run_one("c16x6pt-hot", chains=16, seg_len=25, mirror=8,
+                    kernel="pallas", hop=True, pt_replicas=6,
+                    pt_beta_min=0.04)
+        )
     else:
         rows.append(
             run_one("quick-pallas", chains=8, seg_len=225, mirror=8, kernel="pallas")
