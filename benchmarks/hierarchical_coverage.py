@@ -53,6 +53,9 @@ def main():
     p.add_argument("--warmup", type=int, default=250)
     p.add_argument("--samples", type=int, default=300)
     p.add_argument("--level", type=float, default=0.9)
+    p.add_argument("--max-depth", type=int, default=10,
+                   help="NUTS max tree depth; 8 roughly halves rep cost "
+                        "(verify worst R-hat stays ~1) ")
     p.add_argument("--model", type=str, default="mnle_1m_censor.npz")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str,
@@ -92,7 +95,7 @@ def main():
             est, prior, x, pulses, model=model,
             num_chains=args.chains, num_warmup=args.warmup,
             num_samples=args.samples, seed=args.seed + 2000 + r,
-            verbose=False,
+            max_tree_depth=args.max_depth, verbose=False,
         )
         raw = res["raw"]  # (C, N, dim)
         flat = raw.reshape(-1, raw.shape[-1])
@@ -138,6 +141,8 @@ def main():
         "trials": args.trials,
         "chains": args.chains,
         "warmup": args.warmup,
+        "max_tree_depth": args.max_depth,
+        "seed": args.seed,
         "samples_per_chain": args.samples,
         "nominal_level": args.level,
         "coverage_mu": cov_mu,
