@@ -57,6 +57,11 @@ def main():
                    help="NUTS max tree depth; 8 roughly halves rep cost "
                         "(verify worst R-hat stays ~1) ")
     p.add_argument("--model", type=str, default="mnle_1m_censor.npz")
+    p.add_argument("--pt-replicas", type=int, default=1,
+                   help="parallel-tempering replicas per chain; >1 fixes the "
+                        "worst-rep R-hat~2 multimodal stalls plain NUTS shows "
+                        "(BENCH_NOTES round-3 hierarchical section)")
+    p.add_argument("--pt-beta-min", type=float, default=0.04)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str,
                    default="artifacts/hierarchical_coverage.json")
@@ -96,6 +101,7 @@ def main():
             num_chains=args.chains, num_warmup=args.warmup,
             num_samples=args.samples, seed=args.seed + 2000 + r,
             max_tree_depth=args.max_depth, verbose=False,
+            pt_replicas=args.pt_replicas, pt_beta_min=args.pt_beta_min,
         )
         raw = res["raw"]  # (C, N, dim)
         flat = raw.reshape(-1, raw.shape[-1])
@@ -142,6 +148,8 @@ def main():
         "chains": args.chains,
         "warmup": args.warmup,
         "max_tree_depth": args.max_depth,
+        "pt_replicas": args.pt_replicas,
+        "pt_beta_min": args.pt_beta_min,
         "seed": args.seed,
         "samples_per_chain": args.samples,
         "nominal_level": args.level,

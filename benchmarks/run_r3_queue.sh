@@ -17,8 +17,10 @@
 #   ens   — contingency: 2-member 10M ensemble if flag fails uniformity (#1)
 #   roof  — VPU roofline + profiler trace (#8)
 #   thr   — MCMC throughput sweep with ESS/s headline (#5)
+#   hier  — hierarchical hyperparameter coverage with PT replicas (#6;
+#           moved onto the TPU: CPU reps cost ~70 min each on the 1-core
+#           host and plain NUTS shows worst-rep R-hat ~2 that PT fixes)
 #   pulsept — pulse rep under the hot PT ladder (#4)
-# (hier runs CPU-side via SDM_PLATFORM=cpu; no TPU slot needed.)
 set -u
 cd /root/repo
 
@@ -111,6 +113,18 @@ if have 5400; then
   echo "$(stamp) [thr] exit=$?"
 else
   echo "$(stamp) [thr] SKIPPED (deadline)"
+fi
+
+if have 5400; then
+  echo "$(stamp) [hier] hierarchical coverage with PT on TPU (VERDICT #6)"
+  timeout 5400 python benchmarks/hierarchical_coverage.py \
+    --reps 10 --seed 7 --max-depth 10 --pt-replicas 6 --pt-beta-min 0.04 \
+    --model mnle_1m_censor.npz \
+    --out artifacts/hierarchical_coverage_pt.json \
+    > /tmp/q_hier.log 2>&1
+  echo "$(stamp) [hier] exit=$?"
+else
+  echo "$(stamp) [hier] SKIPPED (deadline)"
 fi
 
 if have 5400; then

@@ -199,14 +199,24 @@ def run_hierarchical_inference(
     num_samples: int = 500,
     max_tree_depth: int = 10,
     target_accept: float = 0.8,
+    pt_replicas: int = 1,
+    pt_beta_min: float = 0.04,
     mesh=None,
     seed=0,
     verbose: bool = True,
 ) -> dict:
     """Joint NUTS over (mu, log_tau, eps_{1..S}); chains vmapped, and sharded
     over a mesh when one is given. Returns population and per-subject draws in
-    constrained theta space."""
-    from ..inference.nuts import run_nuts
+    constrained theta space.
+
+    ``pt_replicas`` > 1 runs each chain as a parallel-tempering replica group
+    on a geometric likelihood ladder (inference/nuts.ReplicaExchange) and
+    returns the cold rung. The joint posterior inherits the subject-level
+    t_nd grid multimodality (BENCH_NOTES round-2 "real root cause"):
+    measured plain-NUTS coverage reps show worst split-R-hat up to ~2 on
+    hard datasets, the same pathology PT fixed for single-subject SBC.
+    """
+    from ..inference.nuts import ReplicaExchange, geometric_ladder, run_nuts
 
     key = as_key(seed)
     bij = mcmc_transform(prior)
@@ -218,13 +228,10 @@ def run_hierarchical_inference(
     pulses = jnp.asarray(pulses, jnp.float32)
     est = density_estimator
 
-    def logp(q):
+    def ll_fn(q):
+        """MNLE data likelihood alone — the tempered term under PT."""
         u_s = model.subject_u(q, S)  # (S, D)
         theta_s = bij.forward(u_s)
-        # log|d theta / d u| for every subject: likelihood is over theta but
-        # NUTS runs in (mu, log_tau, eps); the bijection Jacobian enters once
-        # per subject.
-        jac = jax.vmap(bij.forward_log_det)(u_s).sum()
 
         def subject_ll(theta_i, x_i, s_i):
             def per_trial(x_t, s_t):
@@ -233,8 +240,18 @@ def run_hierarchical_inference(
 
             return jnp.sum(jax.vmap(per_trial)(x_i, s_i))
 
-        ll = jnp.sum(jax.vmap(subject_ll)(theta_s, x, pulses))
-        return model.log_prior(q, S) + jac + ll
+        return jnp.sum(jax.vmap(subject_ll)(theta_s, x, pulses))
+
+    def base_fn(q):
+        """Hyperprior + per-subject bijection Jacobian (untempered): the
+        likelihood is over theta but NUTS runs in (mu, log_tau, eps), so
+        log|d theta / d u| enters once per subject."""
+        u_s = model.subject_u(q, S)
+        jac = jax.vmap(bij.forward_log_det)(u_s).sum()
+        return model.log_prior(q, S) + jac
+
+    def logp(q):
+        return base_fn(q) + ll_fn(q)
 
     dim = model.dim(S)
     # Initialize at the hyperprior center (mu_loc is NOT zero for log-scale
@@ -246,24 +263,42 @@ def run_hierarchical_inference(
     scale = jnp.concatenate(
         [model.mu_scale, model.log_tau_scale, jnp.ones(S * D, jnp.float32)]
     )
+    R = int(pt_replicas)
+    rows = num_chains * R
     init_q = center[None, :] + 0.1 * scale[None, :] * jax.random.normal(
-        jax.random.fold_in(key, 0), (num_chains, dim)
+        jax.random.fold_in(key, 0), (rows, dim)
     )
+
+    kw = dict(
+        num_warmup=num_warmup, num_samples=num_samples,
+        max_depth=max_tree_depth, target_accept=target_accept,
+    )
+    target = logp
+    if R > 1:
+        betas = jnp.tile(jnp.asarray(geometric_ladder(R, pt_beta_min)),
+                         num_chains)  # chain-major groups, cold rung first
+
+        def target(q, beta):  # noqa: F811 — tempered joint density
+            return base_fn(q) + beta * ll_fn(q)
+
+        kw["data"] = betas
+        kw["exchange"] = ReplicaExchange(
+            n_replicas=R, betas=betas,
+            ll_fn=lambda q, beta: ll_fn(q), swap_every=1,
+        )
 
     if mesh is not None:
         from ..parallel.mesh import sharded_run_nuts
 
         samples, info = sharded_run_nuts(
-            jax.random.fold_in(key, 1), logp, init_q, mesh=mesh,
-            num_warmup=num_warmup, num_samples=num_samples,
-            max_depth=max_tree_depth, target_accept=target_accept,
+            jax.random.fold_in(key, 1), target, init_q, mesh=mesh, **kw
         )
     else:
         samples, info = run_nuts(
-            jax.random.fold_in(key, 1), logp, init_q,
-            num_warmup=num_warmup, num_samples=num_samples,
-            max_depth=max_tree_depth, target_accept=target_accept,
+            jax.random.fold_in(key, 1), target, init_q, **kw
         )
+    if R > 1:  # keep the cold (beta = 1) rung of each replica group
+        samples = samples.reshape(num_chains, R, num_samples, dim)[:, 0]
 
     # (C, N, dim) -> constrained summaries.
     C, N, _ = samples.shape
@@ -282,5 +317,6 @@ def run_hierarchical_inference(
         "raw": np.asarray(samples),
         "theta_subjects": np.asarray(theta_subj),  # (C*N, S, D)
         "population_theta": np.asarray(mu_pop),  # (C*N, D)
+        "swap_accept": info.get("swap_accept") if R > 1 else None,
         "info": info,
     }

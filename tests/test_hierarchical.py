@@ -121,3 +121,27 @@ def test_hyperprior_moment_matches_subject_prior():
     tau2 = np.exp(2 * np.asarray(model.log_tau_loc) + 2 * 0.4**2)
     marginal = np.sqrt(np.asarray(model.mu_scale) ** 2 + tau2)
     assert (marginal < 1.05 * std_u).all()
+
+
+def test_hierarchical_inference_with_parallel_tempering():
+    """pt_replicas > 1 runs replica-exchange over the joint posterior
+    (the hierarchy inherits the subject-level t_nd multimodality) and
+    returns only cold-rung draws, same output contract as plain NUTS."""
+    prior = build_prior_theta()
+    theta_true, x, pulses = simulate_hierarchical_sessions(
+        prior, num_subjects=2, trials_per_subject=4, seed=3
+    )
+    xp = jax.vmap(lambda xi: pack_x_rt_choice(xi, log_rt=False))(x)
+    est = build_mnle(
+        jax.random.key(0),
+        MNLEConfig(condition_dim=85, hidden_features=16, num_transforms=2, num_bins=5),
+    )
+    out = run_hierarchical_inference(
+        est, prior, xp, pulses,
+        num_chains=2, num_warmup=15, num_samples=10, max_tree_depth=4,
+        pt_replicas=2, pt_beta_min=0.3, verbose=False,
+    )
+    assert out["raw"].shape == (2, 10, 2 * 5 + 2 * 5)  # cold rung only
+    assert out["theta_subjects"].shape == (20, 2, 5)
+    assert np.isfinite(out["raw"]).all()
+    assert out["swap_accept"] is not None
