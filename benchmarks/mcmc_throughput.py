@@ -199,6 +199,19 @@ def main():
                     kernel="pallas", hop=True, pt_replicas=6,
                     pt_beta_min=0.04)
         )
+        # Wider launches at shorter segments (launch work ~ chains x
+        # seg_len x 2^depth stays at the proven c64 x seg25 scale): with
+        # mixing fixed, min-ESS grows ~ linearly in cold chains, so these
+        # rows are the ESS/s frontier.
+        rows.append(
+            run_one("c128-pallas-hop", chains=128, seg_len=12, mirror=8,
+                    kernel="pallas", hop=True)
+        )
+        rows.append(
+            run_one("c32x6pt-hot", chains=32, seg_len=12, mirror=8,
+                    kernel="pallas", hop=True, pt_replicas=6,
+                    pt_beta_min=0.04)
+        )
     else:
         rows.append(
             run_one("quick-pallas", chains=8, seg_len=225, mirror=8, kernel="pallas")
