@@ -62,6 +62,15 @@ def main():
                         "worst-rep R-hat~2 multimodal stalls plain NUTS shows "
                         "(BENCH_NOTES round-3 hierarchical section)")
     p.add_argument("--pt-beta-min", type=float, default=0.04)
+    p.add_argument("--batch-reps", action="store_true",
+                   help="fold all repetitions into ONE vmapped NUTS launch "
+                        "(rows = reps x chains x replicas) — the TPU-shaped "
+                        "mode; sequential reps only pay off when partial "
+                        "results matter more than wall-clock")
+    p.add_argument("--segment-length", type=int, default=None,
+                   help="NUTS transitions per device launch (default: 50 "
+                        "sequential, 8 with --batch-reps — many-row launches "
+                        "must stay small to not crash the tunnel worker)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str,
                    default="artifacts/hierarchical_coverage.json")
@@ -91,19 +100,45 @@ def main():
     rhat_worst = np.zeros(args.reps)
     mean_err = np.zeros(args.reps)
     t_start = time.time()
-    for r in range(args.reps):
-        theta_true, x, pulses, (mu_t, lt_t) = simulate_hierarchical_sessions(
+
+    sims = [
+        simulate_hierarchical_sessions(
             prior, S, args.trials, model=model, seed=args.seed + 1000 + r,
             return_hyperparams=True, hyper_shrink=1.0,
         )
-        res = run_hierarchical_inference(
-            est, prior, x, pulses, model=model,
+        for r in range(args.reps)
+    ]
+
+    seg = args.segment_length or (8 if args.batch_reps else 50)
+
+    batched_raw = None
+    if args.batch_reps:
+        xs = np.stack([s[1] for s in sims])  # (B, S, T, 2)
+        pss = np.stack([s[2] for s in sims])  # (B, S, T, P)
+        res_all = run_hierarchical_inference(
+            est, prior, xs, pss, model=model,
             num_chains=args.chains, num_warmup=args.warmup,
-            num_samples=args.samples, seed=args.seed + 2000 + r,
-            max_tree_depth=args.max_depth, verbose=False,
+            num_samples=args.samples, seed=args.seed + 2000,
+            max_tree_depth=args.max_depth, verbose=True,
+            segment_length=seg,
             pt_replicas=args.pt_replicas, pt_beta_min=args.pt_beta_min,
         )
-        raw = res["raw"]  # (C, N, dim)
+        batched_raw = res_all["raw"]  # (B, C, N, dim)
+
+    for r in range(args.reps):
+        theta_true, x, pulses, (mu_t, lt_t) = sims[r]
+        if batched_raw is not None:
+            raw = batched_raw[r]
+        else:
+            res = run_hierarchical_inference(
+                est, prior, x, pulses, model=model,
+                num_chains=args.chains, num_warmup=args.warmup,
+                num_samples=args.samples, seed=args.seed + 2000 + r,
+                max_tree_depth=args.max_depth, verbose=False,
+                segment_length=seg,
+                pt_replicas=args.pt_replicas, pt_beta_min=args.pt_beta_min,
+            )
+            raw = res["raw"]  # (C, N, dim)
         flat = raw.reshape(-1, raw.shape[-1])
         mu_s = flat[:, :D]
         lt_s = flat[:, D : 2 * D]
@@ -150,6 +185,7 @@ def main():
         "max_tree_depth": args.max_depth,
         "pt_replicas": args.pt_replicas,
         "pt_beta_min": args.pt_beta_min,
+        "batch_reps": bool(args.batch_reps),
         "seed": args.seed,
         "samples_per_chain": args.samples,
         "nominal_level": args.level,

@@ -119,7 +119,7 @@ if have 5400; then
   echo "$(stamp) [hier] hierarchical coverage with PT on TPU (VERDICT #6)"
   timeout 5400 python benchmarks/hierarchical_coverage.py \
     --reps 10 --seed 7 --max-depth 10 --pt-replicas 6 --pt-beta-min 0.04 \
-    --model mnle_1m_censor.npz \
+    --batch-reps --model mnle_1m_censor.npz \
     --out artifacts/hierarchical_coverage_pt.json \
     > /tmp/q_hier.log 2>&1
   echo "$(stamp) [hier] exit=$?"

@@ -201,6 +201,7 @@ def run_hierarchical_inference(
     target_accept: float = 0.8,
     pt_replicas: int = 1,
     pt_beta_min: float = 0.04,
+    segment_length: int = 50,
     mesh=None,
     seed=0,
     verbose: bool = True,
@@ -215,6 +216,15 @@ def run_hierarchical_inference(
     t_nd grid multimodality (BENCH_NOTES round-2 "real root cause"):
     measured plain-NUTS coverage reps show worst split-R-hat up to ~2 on
     hard datasets, the same pathology PT fixed for single-subject SBC.
+
+    ``x`` may carry an extra leading axis B of independent datasets —
+    shapes (B, S, T, 2) / (B, S, T, P) — in which case all B inferences
+    run as ONE vmapped NUTS launch (rows = B * chains * replicas, each row
+    conditioned on its dataset through run_nuts's per-chain ``data``; same
+    fold the SBC driver uses for datasets, mnle._run_sbc_batched) and every
+    returned array gains the leading B axis. On the single-chip TPU this
+    collapses B sequential NUTS runs into one, which is what makes the
+    hyperparameter-coverage benchmark (B ~ 10 repetitions) fit a TPU slot.
     """
     from ..inference.nuts import ReplicaExchange, geometric_ladder, run_nuts
 
@@ -222,14 +232,20 @@ def run_hierarchical_inference(
     bij = mcmc_transform(prior)
     if model is None:
         model = HierarchicalModel.from_prior(prior)
-    S, T, _ = x.shape
-    D = model.theta_dim
     x = jnp.asarray(x, jnp.float32)
     pulses = jnp.asarray(pulses, jnp.float32)
+    batched = x.ndim == 4
+    xs = x if batched else x[None]
+    ps = pulses if batched else pulses[None]
+    B, S, T, _ = xs.shape
+    D = model.theta_dim
     est = density_estimator
 
-    def ll_fn(q):
-        """MNLE data likelihood alone — the tempered term under PT."""
+    def ll_rep(q, rep):
+        """MNLE data likelihood of dataset ``rep`` — the tempered term
+        under PT."""
+        x_r = jnp.take(xs, rep, axis=0)  # (S, T, 2)
+        s_r = jnp.take(ps, rep, axis=0)  # (S, T, P)
         u_s = model.subject_u(q, S)  # (S, D)
         theta_s = bij.forward(u_s)
 
@@ -240,7 +256,10 @@ def run_hierarchical_inference(
 
             return jnp.sum(jax.vmap(per_trial)(x_i, s_i))
 
-        return jnp.sum(jax.vmap(subject_ll)(theta_s, x, pulses))
+        return jnp.sum(jax.vmap(subject_ll)(theta_s, x_r, s_r))
+
+    def ll_fn(q):
+        return ll_rep(q, 0)
 
     def base_fn(q):
         """Hyperprior + per-subject bijection Jacobian (untempered): the
@@ -264,7 +283,7 @@ def run_hierarchical_inference(
         [model.mu_scale, model.log_tau_scale, jnp.ones(S * D, jnp.float32)]
     )
     R = int(pt_replicas)
-    rows = num_chains * R
+    rows = B * num_chains * R
     init_q = center[None, :] + 0.1 * scale[None, :] * jax.random.normal(
         jax.random.fold_in(key, 0), (rows, dim)
     )
@@ -272,9 +291,35 @@ def run_hierarchical_inference(
     kw = dict(
         num_warmup=num_warmup, num_samples=num_samples,
         max_depth=max_tree_depth, target_accept=target_accept,
+        # Per-launch work scales with rows x segment_length x 2^depth;
+        # oversized single launches have crashed the tunnel worker, so
+        # batched (many-row) runs should pass a short segment_length.
+        segment_length=segment_length,
     )
     target = logp
-    if R > 1:
+    if batched:
+        # Row order: dataset-major, then chain, then rung — replica groups
+        # stay CONTIGUOUS with the cold rung first (ReplicaExchange contract).
+        rep_ids = jnp.repeat(jnp.arange(B), num_chains * R)
+        if R > 1:
+            betas = jnp.tile(jnp.asarray(geometric_ladder(R, pt_beta_min)),
+                             B * num_chains)
+
+            def target(q, d):  # noqa: F811 — tempered, per-row dataset
+                return base_fn(q) + d["beta"] * ll_rep(q, d["rep"])
+
+            kw["data"] = {"beta": betas, "rep": rep_ids}
+            kw["exchange"] = ReplicaExchange(
+                n_replicas=R, betas=betas,
+                ll_fn=lambda q, d: ll_rep(q, d["rep"]), swap_every=1,
+            )
+        else:
+
+            def target(q, d):  # noqa: F811 — per-row dataset
+                return base_fn(q) + ll_rep(q, d["rep"])
+
+            kw["data"] = {"rep": rep_ids}
+    elif R > 1:
         betas = jnp.tile(jnp.asarray(geometric_ladder(R, pt_beta_min)),
                          num_chains)  # chain-major groups, cold rung first
 
@@ -298,25 +343,34 @@ def run_hierarchical_inference(
             jax.random.fold_in(key, 1), target, init_q, **kw
         )
     if R > 1:  # keep the cold (beta = 1) rung of each replica group
-        samples = samples.reshape(num_chains, R, num_samples, dim)[:, 0]
+        samples = samples.reshape(B * num_chains, R, num_samples, dim)[:, 0]
 
-    # (C, N, dim) -> constrained summaries.
-    C, N, _ = samples.shape
-    flat = samples.reshape(C * N, dim)
-    u_subj = jax.vmap(lambda q: model.subject_u(q, S))(flat)  # (CN, S, D)
+    # (B*C, N, dim) -> constrained summaries (leading B axis kept iff the
+    # input carried one).
+    C, N = num_chains, num_samples
+    flat = samples.reshape(B * C * N, dim)
+    u_subj = jax.vmap(lambda q: model.subject_u(q, S))(flat)  # (BCN, S, D)
     theta_subj = bij.forward(u_subj)
     mu_pop = bij.forward(flat[:, :D])  # population location mapped to theta space
     if verbose:
         ap = float(jnp.mean(info["accept_prob"]))
         dv = int(jnp.sum(info["diverging"]))
         print(
-            f"[hierarchical] chains={C} draws={N} subjects={S} "
+            f"[hierarchical] datasets={B} chains={C} draws={N} subjects={S} "
             f"mean_accept={ap:.3f} divergences={dv}"
         )
+    if batched:
+        raw = np.asarray(samples).reshape(B, C, N, dim)
+        theta_out = np.asarray(theta_subj).reshape(B, C * N, S, D)
+        mu_out = np.asarray(mu_pop).reshape(B, C * N, D)
+    else:
+        raw = np.asarray(samples)
+        theta_out = np.asarray(theta_subj)  # (C*N, S, D)
+        mu_out = np.asarray(mu_pop)  # (C*N, D)
     return {
-        "raw": np.asarray(samples),
-        "theta_subjects": np.asarray(theta_subj),  # (C*N, S, D)
-        "population_theta": np.asarray(mu_pop),  # (C*N, D)
+        "raw": raw,
+        "theta_subjects": theta_out,
+        "population_theta": mu_out,
         "swap_accept": info.get("swap_accept") if R > 1 else None,
         "info": info,
     }
