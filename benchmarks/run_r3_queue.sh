@@ -10,17 +10,22 @@
 # (shifted-log SBC → flagship 10M → roofline → ESS/s → pulse+PT) and skip
 # the tail rather than truncating the flagship mid-run.
 #
-# Stages (VERDICT round-2 items in parens):
+# Stages (VERDICT round-2 items in parens). Order: flagship FIRST — it is
+# the only run that can pass all-5 SBC at 96 datasets, the chip has gone
+# down mid-round twice, and the CPU hedge (calibration_shifted_cpu16)
+# already answers the 1M-shifted question at 16-dataset power:
 #   wait  — poll until the axon TPU answers
-#   e4b   — 1M shifted_log+log-theta SBC 96x600, PT6, soft onset barrier (#1)
 #   flag  — flagship: 10M shifted_log+log-theta train + SBC 96x600, PT6 (#1)
 #   ens   — contingency: 2-member 10M ensemble if flag fails uniformity (#1)
 #   roof  — VPU roofline + profiler trace (#8)
 #   thr   — MCMC throughput sweep with ESS/s headline (#5)
+#   e4b   — 1M shifted_log+log-theta SBC 96x600, PT6, soft onset barrier (#1)
 #   hier  — hierarchical hyperparameter coverage with PT replicas (#6;
 #           moved onto the TPU: CPU reps cost ~70 min each on the 1-core
 #           host and plain NUTS shows worst-rep R-hat ~2 that PT fixes)
 #   pulsept — pulse rep under the hot PT ladder (#4)
+# (e4b demoted below roof/thr 2026-08-18: reuses a trained 1M model whose
+# v-shrinkage failure mode is already measured; not a candidate headline.)
 set -u
 cd /root/repo
 
@@ -38,20 +43,6 @@ until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   sleep 120
 done
 echo "$(stamp) TPU BACK — starting queue ($(remaining)s to deadline)"
-
-if have 5400; then
-  echo "$(stamp) [e4b] 1M shifted_log+logt SBC (reuse model)"
-  rm -rf artifacts/calibration_shifted_logt_96
-  timeout 5400 python benchmarks/calibration_run.py \
-    --sims 1000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
-    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
-    --log-theta --reuse-model --model mnle_1m_shifted_logt.npz \
-    --outdir artifacts/calibration_shifted_logt_96 \
-    > /tmp/q_e4b.log 2>&1
-  echo "$(stamp) [e4b] exit=$?"
-else
-  echo "$(stamp) [e4b] SKIPPED (deadline)"
-fi
 
 if have 7800; then
   echo "$(stamp) [flag] 10M shifted_log+logt train + SBC"
@@ -113,6 +104,20 @@ if have 5400; then
   echo "$(stamp) [thr] exit=$?"
 else
   echo "$(stamp) [thr] SKIPPED (deadline)"
+fi
+
+if have 5400; then
+  echo "$(stamp) [e4b] 1M shifted_log+logt SBC (reuse model)"
+  rm -rf artifacts/calibration_shifted_logt_96
+  timeout 5400 python benchmarks/calibration_run.py \
+    --sims 1000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+    --log-theta --reuse-model --model mnle_1m_shifted_logt.npz \
+    --outdir artifacts/calibration_shifted_logt_96 \
+    > /tmp/q_e4b.log 2>&1
+  echo "$(stamp) [e4b] exit=$?"
+else
+  echo "$(stamp) [e4b] SKIPPED (deadline)"
 fi
 
 if have 5400; then
