@@ -44,15 +44,30 @@ until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
 done
 echo "$(stamp) TPU BACK — starting queue ($(remaining)s to deadline)"
 
-if have 7800; then
-  echo "$(stamp) [flag] 10M shifted_log+logt train + SBC"
+run_flag() {
+  # $@: extra flags (retry passes --reuse-model; SBC nuts_ckpt disk-resumes
+  # because run_sbc's run_id hashes only (key, shapes), not params, and the
+  # model is saved before SBC starts).
   timeout 7800 python benchmarks/calibration_run.py \
     --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
     --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
     --log-theta --model mnle_10m_shifted_logt.npz \
-    --outdir artifacts/calibration_shifted10m_96 \
-    > /tmp/q_flag.log 2>&1
-  echo "$(stamp) [flag] exit=$?"
+    --outdir artifacts/calibration_shifted10m_96 "$@" \
+    >> /tmp/q_flag.log 2>&1
+}
+if have 7800; then
+  echo "$(stamp) [flag] 10M shifted_log+logt train + SBC"
+  run_flag
+  rc=$?
+  echo "$(stamp) [flag] exit=$rc"
+  if [ "$rc" -ne 0 ] && [ -f "${MODEL_DIR:-$HOME/models}/mnle_10m_shifted_logt.npz" ] && have 5400; then
+    echo "$(stamp) [flag] retrying with --reuse-model (tunnel drop resilience)"
+    until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+      have 1800 || break; sleep 120
+    done
+    run_flag --reuse-model
+    echo "$(stamp) [flag] retry exit=$?"
+  fi
 else
   echo "$(stamp) [flag] SKIPPED (deadline)"
 fi
