@@ -136,10 +136,16 @@ else
 fi
 
 if have 5400; then
-  echo "$(stamp) [hier] hierarchical coverage with PT on TPU (VERDICT #6)"
+  # Best estimator available: the flagship shifted-log 10M (exact rt=t_nd
+  # onset, calibrated tau) if flag trained it, else 10M censor, else 1M.
+  HIER_MODEL=mnle_1m_censor.npz
+  for m in mnle_10m_censor.npz mnle_10m_shifted_logt.npz; do
+    [ -f "${MODEL_DIR:-$HOME/models}/$m" ] && HIER_MODEL=$m
+  done
+  echo "$(stamp) [hier] hierarchical coverage with PT on TPU (VERDICT #6; model=$HIER_MODEL)"
   timeout 5400 python benchmarks/hierarchical_coverage.py \
     --reps 10 --seed 7 --max-depth 10 --pt-replicas 6 --pt-beta-min 0.04 \
-    --batch-reps --model mnle_1m_censor.npz \
+    --batch-reps --model "$HIER_MODEL" \
     --out artifacts/hierarchical_coverage_pt.json \
     > /tmp/q_hier.log 2>&1
   echo "$(stamp) [hier] exit=$?"
