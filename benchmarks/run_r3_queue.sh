@@ -29,6 +29,10 @@
 set -u
 cd /root/repo
 
+# Trained models live in the repo so they survive host restarts (the
+# $HOME/models copies were wiped by one mid-round; artifacts/ persisted).
+export MODEL_DIR="${MODEL_DIR:-/root/repo/artifacts/models}"
+
 DEADLINE=${DEADLINE:-$(( $(date +%s) + 43200 ))}
 
 stamp() { date +%H:%M:%S; }
@@ -113,8 +117,14 @@ else
 fi
 
 if have 5400; then
-  echo "$(stamp) [thr] MCMC throughput (ESS/s headline)"
-  timeout 5400 python benchmarks/mcmc_throughput.py --model mnle_10m_censor.npz \
+  # Best available 10M-budget model: the flagship's shifted-log model if the
+  # flag stage trained it, else the surviving plain 10M model.
+  THR_MODEL=mnle_10m.npz
+  for m in mnle_10m_censor.npz mnle_10m_shifted_logt.npz; do
+    [ -f "$MODEL_DIR/$m" ] && THR_MODEL=$m
+  done
+  echo "$(stamp) [thr] MCMC throughput (ESS/s headline; model=$THR_MODEL)"
+  timeout 5400 python benchmarks/mcmc_throughput.py --model "$THR_MODEL" \
     > /tmp/q_thr.log 2>&1
   echo "$(stamp) [thr] exit=$?"
 else
@@ -122,12 +132,14 @@ else
 fi
 
 if have 5400; then
-  echo "$(stamp) [e4b] 1M shifted_log+logt SBC (reuse model)"
+  # Trains fresh: the round's earlier mnle_1m_shifted_logt.npz lived in
+  # $HOME/models and was lost to the host restart (1M train is ~4 min).
+  echo "$(stamp) [e4b] 1M shifted_log+logt train + SBC"
   rm -rf artifacts/calibration_shifted_logt_96
   timeout 5400 python benchmarks/calibration_run.py \
     --sims 1000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
     --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
-    --log-theta --reuse-model --model mnle_1m_shifted_logt.npz \
+    --log-theta --model mnle_1m_shifted_logt.npz \
     --outdir artifacts/calibration_shifted_logt_96 \
     > /tmp/q_e4b.log 2>&1
   echo "$(stamp) [e4b] exit=$?"
