@@ -38,7 +38,26 @@ def main():
     p.add_argument("--draws", type=int, default=125, help="draws per chain")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--out", type=str, default="artifacts/mcmc_throughput.json")
+    p.add_argument(
+        "--resume-log", type=str, default=None,
+        help="path to a previous run's log; rows already printed there (one "
+        "JSON object per line) are reused instead of re-measured — the sweep "
+        "costs ~90 min and the tunnel has died mid-sweep twice this round",
+    )
     args = p.parse_args()
+
+    done: dict[str, dict] = {}
+    if args.resume_log and Path(args.resume_log).exists():
+        for line in Path(args.resume_log).read_text().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    row = json.loads(line)
+                    if "name" in row and "ess_per_s" in row:
+                        done[row["name"]] = row
+                except json.JSONDecodeError:
+                    continue
+        print(f"[mcmc_throughput] resuming: {sorted(done)} already measured")
 
     from sbi_for_diffusion_models_tpu.data_simulator import simulate_observed_session
     from sbi_for_diffusion_models_tpu.distributions import mcmc_transform
@@ -95,6 +114,11 @@ def main():
             ReplicaExchange,
             geometric_ladder,
         )
+
+        if name in done:
+            row = done[name]
+            print(json.dumps(row), flush=True)
+            return row
 
         R = int(pt_replicas)
         mode_hop = None

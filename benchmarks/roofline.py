@@ -70,46 +70,60 @@ def _time(fn, *args, reps=5):
     return float(np.median(ts))
 
 
-def vpu_ceiling(kind: str, *, R=256, G=64, K=512, reps=5):
+def vpu_ceiling(kind: str, *, R=256, G=64, K_lo=1 << 14, K_hi=1 << 17, reps=5):
     """Achievable VPU throughput (ops/s) for chained elementwise work on the
     simulator's tile layout: grid G over (R, 128) VMEM tiles, K serial ops
-    per element. Serial chaining defeats fusion-into-nothing; the measured
-    number is ops = G*R*128*K / wall."""
+    per element (8-op unrolled ``fori_loop`` body — serial chaining defeats
+    fusion-into-nothing).
 
-    def kernel(x_ref, o_ref):
-        x = x_ref[0]
-        if kind == "fma":
-            c = jnp.float32(1.0000001)
-            d = jnp.float32(1e-7)
-            for _ in range(K):
-                x = x * c + d
-        elif kind == "transcendental":
-            for _ in range(K // 8):
+    Dispatch through the axon tunnel costs O(100 ms) per call, which at the
+    original K=512 was ~1000x the device time and made the "ceiling" absurdly
+    low (the round-3 first cut printed 0.00 Tops/s and a 12545% utilization).
+    Fix: time the SAME kernel at two chain lengths and difference them —
+    ops/s = G*R*128*(K_hi-K_lo) / (wall_hi - wall_lo) — so the constant
+    dispatch/transfer overhead cancels and only on-device issue rate remains.
+    """
+
+    def make(K):
+        def body8(x):
+            if kind == "fma":
+                c = jnp.float32(1.0000001)
+                d = jnp.float32(1e-7)
+                for _ in range(8):
+                    x = x * c + d
+            else:  # transcendental mix: 4 special + 4 cheap ops per 8 slots
                 x = jnp.exp(x * jnp.float32(1e-3))
                 x = jnp.log(x + jnp.float32(1.5))
                 x = jnp.sqrt(x * x + jnp.float32(0.25))
                 x = jnp.sin(x)
-                # pad with 4 cheap ops so K counts issue slots comparably
                 x = x * jnp.float32(1.0001) + jnp.float32(1e-6)
                 x = jnp.maximum(x, jnp.float32(-10.0))
                 x = jnp.minimum(x, jnp.float32(10.0))
                 x = x + jnp.float32(1e-6)
-        o_ref[0] = x
+            return x
+
+        def kernel(x_ref, o_ref):
+            o_ref[0] = jax.lax.fori_loop(
+                0, K // 8, lambda i, x: body8(x), x_ref[0]
+            )
+
+        return jax.jit(
+            lambda x: pl.pallas_call(
+                kernel,
+                grid=(G,),
+                in_specs=[pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0))],
+                out_specs=pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
+            )(x)
+        )
 
     x = jnp.ones((G, R, 128), jnp.float32) * 0.5
-
-    f = jax.jit(
-        lambda x: pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=[pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0))],
-            out_specs=pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
-        )(x)
-    )
-    wall = _time(f, x, reps=reps)
-    ops = G * R * 128 * K
-    return ops / wall, wall
+    wall_lo = _time(make(K_lo), x, reps=reps)
+    wall_hi = _time(make(K_hi), x, reps=reps)
+    dt = wall_hi - wall_lo
+    if dt <= 0:  # noise swamped the difference; report the raw upper bound
+        return G * R * 128 * K_hi / wall_hi, wall_hi
+    return G * R * 128 * (K_hi - K_lo) / dt, wall_hi
 
 
 def main():

@@ -117,15 +117,13 @@ else
 fi
 
 if have 5400; then
-  # Best available 10M-budget model: the flagship's shifted-log model if the
-  # flag stage trained it, else the surviving plain 10M model.
-  THR_MODEL=mnle_10m.npz
-  for m in mnle_10m_censor.npz mnle_10m_shifted_logt.npz; do
-    [ -f "$MODEL_DIR/$m" ] && THR_MODEL=$m
-  done
-  echo "$(stamp) [thr] MCMC throughput (ESS/s headline; model=$THR_MODEL)"
-  timeout 5400 python benchmarks/mcmc_throughput.py --model "$THR_MODEL" \
-    > /tmp/q_thr.log 2>&1
+  # Pinned to mnle_10m.npz: the 5 rows already measured this round
+  # (artifacts/mcmc_throughput_r3_partial.jsonl.log) used it, and resumed
+  # rows are only valid against the same potential.
+  echo "$(stamp) [thr] MCMC throughput (ESS/s headline; model=mnle_10m.npz, resume)"
+  timeout 5400 python benchmarks/mcmc_throughput.py --model mnle_10m.npz \
+    --resume-log artifacts/mcmc_throughput_r3_partial.jsonl.log \
+    > /tmp/q_thr2.log 2>&1
   echo "$(stamp) [thr] exit=$?"
 else
   echo "$(stamp) [thr] SKIPPED (deadline)"

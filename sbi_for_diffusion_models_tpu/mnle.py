@@ -213,13 +213,15 @@ def train_mnle(
     )
 
     # Train/validation split (sbi default behavior: held-out validation loss
-    # drives early stopping).
+    # drives early stopping). The split is INDEX-ONLY: gathering z[tr_idx]
+    # would materialize a second full copy of the training set on device
+    # (3.4 GB at the 10M-trial budget — measured RESOURCE_EXHAUSTED on the
+    # 16 GB chip); instead z/x stay whole and every consumer gathers its
+    # minibatch rows through tr_idx/val_idx.
     n_val = max(int(n * cfg.TRAIN_VALIDATION_FRACTION), 1) if n > 10 else 0
     perm = jax.random.permutation(jax.random.fold_in(key, 1), n)
     val_idx, tr_idx = perm[:n_val], perm[n_val:]
-    z_tr, x_tr = z[tr_idx], x[tr_idx]
-    z_val, x_val = z[val_idx], x[val_idx]
-    n_tr = int(z_tr.shape[0])
+    n_tr = int(n - n_val)
 
     batch_size = min(int(cfg.TRAIN_BATCH_SIZE), n_tr)
     n_batches = max(n_tr // batch_size, 1)
@@ -239,25 +241,30 @@ def train_mnle(
     # arrays are baked into the program as constants, which at 1M-trial
     # budgets makes the compile payload hundreds of MB.
     @jax.jit
-    def epoch_step(params, opt_state, perm_idx, x_tr, z_tr):
+    def epoch_step(params, opt_state, perm_idx, tr_idx, x, z):
         def body(carry, idx):
             params, opt_state = carry
-            xb = jnp.take(x_tr, idx, axis=0)
-            zb = jnp.take(z_tr, idx, axis=0)
+            xb = jnp.take(x, idx, axis=0)
+            zb = jnp.take(z, idx, axis=0)
             loss, grads = jax.value_and_grad(loss_fn)(params, xb, zb)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        batches = perm_idx[: n_batches * batch_size].reshape(n_batches, batch_size)
+        # perm_idx permutes the training subset; map through tr_idx to rows
+        # of the full arrays (a small int32 gather, not a data copy).
+        rows = jnp.take(tr_idx, perm_idx[: n_batches * batch_size], axis=0)
+        batches = rows.reshape(n_batches, batch_size)
         (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), batches)
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def val_loss_fn(params, x_val, z_val):
+    def val_loss_fn(params, val_idx, x, z):
         if n_val == 0:
             return jnp.float32(0.0)
-        return loss_fn(params, x_val, z_val)
+        return loss_fn(
+            params, jnp.take(x, val_idx, axis=0), jnp.take(z, val_idx, axis=0)
+        )
 
     import time as _time
 
@@ -290,8 +297,10 @@ def train_mnle(
     for epoch in range(start_epoch, cfg.TRAIN_MAX_EPOCHS):
         last_epoch = epoch
         perm_idx = jax.random.permutation(jax.random.fold_in(key, 100 + epoch), n_tr)
-        params, opt_state, tr_loss = epoch_step(params, opt_state, perm_idx, x_tr, z_tr)
-        vl = float(val_loss_fn(params, x_val, z_val)) if n_val > 0 else float(tr_loss)
+        params, opt_state, tr_loss = epoch_step(
+            params, opt_state, perm_idx, tr_idx, x, z
+        )
+        vl = float(val_loss_fn(params, val_idx, x, z)) if n_val > 0 else float(tr_loss)
         if vl < best_val - 1e-5:
             best_val = vl
             best_params = params
