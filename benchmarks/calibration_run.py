@@ -49,6 +49,9 @@ def main():
     p.add_argument("--pt-replicas", type=int, default=None)
     p.add_argument("--pt-beta-min", type=float, default=None)
     p.add_argument("--pt-swap-every", type=int, default=None)
+    # Within-basin t_nd slice mixer for hard-onset likelihoods
+    # (inference/mcmc.make_dim_slice; see run_config.MCMC_TAU_SLICE).
+    p.add_argument("--tau-slice", action="store_true")
     # Estimator capacity knobs (reference hard-codes 128/10/24, mnle.py:36-38).
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--transforms", type=int, default=None)
@@ -134,6 +137,8 @@ def main():
         cfg = cfg.replace(MCMC_TARGET_ACCEPT=args.target_accept)
     if args.pt_replicas is not None:
         cfg = cfg.replace(MCMC_PT_REPLICAS=args.pt_replicas)
+    if args.tau_slice:
+        cfg = cfg.replace(MCMC_TAU_SLICE=True)
     if args.pt_beta_min is not None:
         cfg = cfg.replace(MCMC_PT_BETA_MIN=args.pt_beta_min)
     if args.pt_swap_every is not None:

@@ -357,3 +357,103 @@ def make_grid_hop(
         return pick(u_prop, u), pick(logp_prop, logp), jax.tree.map(pick, g_prop, g)
 
     return hop
+
+
+def make_dim_slice(index: int, width: float = 1.0, max_stepout: int = 6,
+                   max_shrink: int = 24):
+    """Gradient-free slice update of ONE unconstrained coordinate.
+
+    Neal (2003) stepping-out + shrinkage on ``u[index]``, targeting the
+    full conditional of the u-space density run_nuts samples (``logp``
+    already includes the bijector log-det, so no extra Jacobian terms).
+    Built for potentials with hard walls: the shifted-log RT representation
+    makes the likelihood exactly zero for t_nd >= min_i rt_i, a boundary
+    leapfrog trajectories slam into (calibration_shifted10m_96: divergence
+    spikes, split-R-hat up to 1.9e5 on 24/96 datasets) while a slice
+    interval simply shrinks off the wall. Intended to compose with
+    make_grid_hop (cross-mode) as the within-basin t_nd mixer; plugs into
+    the same ``mode_hop`` hook of run_nuts/run_slice (hop(key, u, logp, g,
+    vg_fn) -> (u, logp, g), applied once per transition).
+
+    Exactness notes: the stepping-out loop runs a FIXED max_stepout
+    expansions per side (re-evaluating in place once the slice edge is
+    found) — interval-limited stepping out is a valid slice kernel for any
+    fixed cap (Neal 2003 s.4.1). The shrinkage loop is capped at
+    max_shrink; on the (never observed at default settings) cap hit the
+    move returns the current state, which is a valid (identity) kernel.
+    Non-finite proposals are treated as density zero, so -inf walls and
+    NaN regions are rejected without branching.
+
+    Cost: <= 2*max_stepout + max_shrink + 1 potential evaluations per
+    call (each through ``vg_fn``; gradients are discarded during the
+    search and recomputed once at the accepted point).
+    """
+    from jax import lax
+
+    w = float(width)
+
+    def _lp(vg_fn, u, x):
+        lp, _ = vg_fn(u.at[index].set(x))
+        return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+
+    def move(key, u, logp, g, vg_fn):
+        k_y, k_off, k_sh = jax.random.split(key, 3)
+        x0 = u[index]
+        # Slice level under the current (finite) logp.
+        logy = logp + jnp.log1p(-jax.random.uniform(k_y))
+        lo0 = x0 - jax.random.uniform(k_off) * w
+        hi0 = lo0 + w
+
+        def expand(sign, edge):
+            def body(_, x):
+                above = _lp(vg_fn, u, x) > logy
+                return jnp.where(above, x + sign * w, x)
+            return lax.fori_loop(0, max_stepout, body, edge)
+
+        lo = expand(-1.0, lo0)
+        hi = expand(1.0, hi0)
+
+        def cond(c):
+            _, _, _, done, it, _ = c
+            return (~done) & (it < max_shrink)
+
+        def body(c):
+            x, lo, hi, _, it, k = c
+            k, kk = jax.random.split(k)
+            xp = lo + jax.random.uniform(kk) * (hi - lo)
+            ok = _lp(vg_fn, u, xp) > logy
+            lo = jnp.where(~ok & (xp < x0), xp, lo)
+            hi = jnp.where(~ok & (xp >= x0), xp, hi)
+            return jnp.where(ok, xp, x), lo, hi, ok, it + 1, k
+
+        x_new, _, _, accepted, _, _ = lax.while_loop(
+            cond, body, (x0, lo, hi, jnp.bool_(False), 0, k_sh)
+        )
+        x_new = jnp.where(accepted, x_new, x0)
+        u_new = u.at[index].set(x_new)
+        logp_new, g_new = vg_fn(u_new)
+        pick = lambda a, b: jnp.where(accepted, a, b)
+        return (
+            pick(u_new, u),
+            pick(logp_new, logp),
+            jax.tree.map(pick, g_new, g),
+        )
+
+    return move
+
+
+def compose_moves(*moves):
+    """Compose mode_hop-style moves (each preserves the target, so any
+    fixed composition does); applied in order with independent sub-keys."""
+    moves = [m for m in moves if m is not None]
+    if not moves:
+        return None
+    if len(moves) == 1:
+        return moves[0]
+
+    def move(key, u, logp, g, vg_fn):
+        for i, m in enumerate(moves):
+            u, logp, g = m(jax.random.fold_in(key, i), u, logp, g, vg_fn)
+        return u, logp, g
+
+    return move

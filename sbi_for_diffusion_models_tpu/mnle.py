@@ -549,6 +549,14 @@ def run_inference_mcmc(
         # t_nd (theta[4]) is identifiable only up to pulse-grid aliasing;
         # hop between the near-periodic modes (see make_grid_hop).
         mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
+    if cfg.MCMC_TAU_SLICE:
+        from .inference.mcmc import compose_moves, make_dim_slice
+
+        # Within-basin t_nd mixer for hard-onset likelihoods (see
+        # run_config.MCMC_TAU_SLICE); hop first (cross-mode), then slice.
+        mode_hop = compose_moves(
+            mode_hop, make_dim_slice(4, width=cfg.MCMC_TAU_SLICE_WIDTH)
+        )
     posterior = MCMCPosterior(
         potential_fn=potential,
         proposal=prior_theta,
@@ -685,6 +693,12 @@ def _run_sbc_batched(
         from .inference.mcmc import make_grid_hop
 
         mode_hop = make_grid_hop(bij, index=4, delta=PULSE_INTERVAL)
+    if cfg.MCMC_TAU_SLICE:
+        from .inference.mcmc import compose_moves, make_dim_slice
+
+        mode_hop = compose_moves(
+            mode_hop, make_dim_slice(4, width=cfg.MCMC_TAU_SLICE_WIDTH)
+        )
 
     # Parallel tempering: R replicas per (dataset, chain), contiguous, cold
     # rung first; beta rides in ``data`` so one compiled logp serves every

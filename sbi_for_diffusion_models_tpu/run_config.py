@@ -125,6 +125,18 @@ class RunConfig:
     # enables a Metropolis shift move between the modes inside NUTS/slice
     # (inference/mcmc.make_grid_hop). Valid MCMC; strictly improves mixing.
     MCMC_GRID_HOP: bool = True
+    # Within-basin t_nd mixer: a gradient-free 1-D slice update of the
+    # unconstrained t_nd coordinate after every NUTS transition
+    # (inference/mcmc.make_dim_slice, composed with the grid hop). Built
+    # for hard-onset likelihoods (MNLE_RT_REP="shifted_log" zeroes the
+    # density at t_nd >= min rt): leapfrog diverges at that wall while a
+    # slice interval shrinks off it (measured: calibration_shifted10m_96
+    # split-R-hat up to 1.9e5 on 24/96 datasets without it). Off by
+    # default; costs up to ~37 extra potential evals per transition.
+    MCMC_TAU_SLICE: bool = False
+    # Interval width in UNCONSTRAINED space (Beta-support t_nd maps through
+    # a logit, where the posterior scale is O(0.1-1)).
+    MCMC_TAU_SLICE_WIDTH: float = 1.0
     # Parallel tempering (replica exchange): >1 runs that many replicas per
     # chain on a geometric inverse-temperature ladder down to
     # MCMC_PT_BETA_MIN, with DEO swap sweeps every MCMC_PT_SWAP_EVERY

@@ -308,3 +308,103 @@ def test_grid_hop_in_slice():
     th = np.asarray(bij.forward(s))[..., 0].ravel()
     frac = float((th > 0.30).mean())
     assert abs(frac - w2) < 0.15, f"slice+hop mode weights off: {frac}"
+
+
+def test_dim_slice_invariance_hard_wall():
+    """Exact-invariance check for make_dim_slice: starting from EXACT
+    samples of a hard-wall target (u1 ~ N(0,1) truncated at 0.7 — the
+    shifted-log onset-wall geometry), applying the move repeatedly must
+    leave the distribution unchanged (KS vs the analytic truncated CDF)."""
+    from scipy import stats
+
+    from sbi_for_diffusion_models_tpu.inference.mcmc import make_dim_slice
+
+    wall = 0.7
+
+    def logp(u):
+        lp = -0.5 * jnp.sum(u**2)
+        return jnp.where(u[1] < wall, lp, -jnp.inf)
+
+    vg = jax.value_and_grad(logp)
+    move = make_dim_slice(1, width=1.0)
+
+    n = 2000
+    rng = np.random.default_rng(0)
+    u0 = rng.normal(size=(n,))
+    u1 = stats.truncnorm.rvs(-np.inf, wall, size=n, random_state=1)
+    u = jnp.asarray(np.stack([u0, u1], -1), jnp.float32)
+
+    @jax.jit
+    @jax.vmap
+    def apply3(key, u):
+        lp, g = vg(u)
+        for i in range(3):
+            u, lp, g = move(jax.random.fold_in(key, i), u, lp, g, vg)
+        return u
+
+    out = np.asarray(apply3(jax.random.split(jax.random.key(2), n), u))
+    assert np.all(out[:, 1] < wall)
+    p = stats.kstest(out[:, 1], lambda x: stats.truncnorm.cdf(x, -np.inf, wall)).pvalue
+    assert p > 0.01, f"dim_slice broke invariance on the wall target: KS p={p}"
+    # the move must actually move (it is not an identity kernel)
+    assert np.mean(np.abs(out[:, 1] - np.asarray(u)[:, 1]) > 1e-6) > 0.9
+
+
+def test_dim_slice_in_nuts_hard_wall():
+    """NUTS + make_dim_slice on a wall target recovers the truncated
+    marginal from a far-off start (leapfrog alone refuses moves into the
+    wall; the slice interval shrinks off it)."""
+    from scipy import stats
+
+    from sbi_for_diffusion_models_tpu.inference.mcmc import make_dim_slice
+    from sbi_for_diffusion_models_tpu.inference.nuts import run_nuts
+
+    wall = 0.5
+
+    def logp(u):
+        lp = -0.5 * jnp.sum(u**2, axis=-1)
+        return jnp.where(u[..., 1] < wall, lp, -jnp.inf)
+
+    init = jnp.tile(jnp.array([[0.0, -3.0]], jnp.float32), (4, 1))
+    s, _ = run_nuts(jax.random.key(7), logp, init, num_warmup=200,
+                    num_samples=300, max_depth=6,
+                    mode_hop=make_dim_slice(1, width=1.0))
+    u1 = np.asarray(s)[..., 1].ravel()
+    assert np.all(u1 < wall)
+    m_true = stats.truncnorm.mean(-np.inf, wall)
+    assert abs(u1.mean() - m_true) < 0.12, (u1.mean(), m_true)
+
+
+def test_compose_moves_hop_plus_slice():
+    """compose_moves(grid_hop, dim_slice) still recovers two-mode weights
+    (each component preserves the target; the composition must too)."""
+    from sbi_for_diffusion_models_tpu.inference.mcmc import (
+        compose_moves,
+        make_dim_slice,
+        make_grid_hop,
+    )
+    from sbi_for_diffusion_models_tpu.inference.nuts import run_nuts
+
+    prior = MultipleIndependent([Beta(2.0, 2.0)])
+    bij = mcmc_transform(prior)
+    w2, mu1, mu2, sig = 0.7, 0.30, 0.40, 0.004
+
+    def logp_u(u):
+        th = bij.forward(u)[..., 0]
+        lp1 = jnp.log(1 - w2) - 0.5 * ((th - mu1) / sig) ** 2
+        lp2 = jnp.log(w2) - 0.5 * ((th - mu2) / sig) ** 2
+        return jnp.logaddexp(lp1, lp2) + bij.forward_log_det(u)
+
+    init = bij.inverse(jnp.full((4, 1), mu1))
+    move = compose_moves(make_grid_hop(bij, index=0, delta=0.1),
+                         make_dim_slice(0, width=0.5))
+    s, _ = run_nuts(jax.random.key(50), logp_u, init, num_warmup=200,
+                    num_samples=400, max_depth=6, mode_hop=move)
+    th = np.asarray(bij.forward(s))[..., 0].ravel()
+    frac = float((th > 0.35).mean())
+    assert abs(frac - w2) < 0.12, f"composed move mode weights off: {frac}"
+    assert (th > 0).all() and (th < 1).all()
+    # compose_moves degenerate forms
+    assert compose_moves(None) is None
+    one = make_dim_slice(0)
+    assert compose_moves(None, one) is one
