@@ -60,10 +60,15 @@ else
   echo "$(stamp) [onset] SKIPPED (deadline)"
 fi
 
-if have 4800; then
+if have 2700; then
   echo "$(stamp) [hier4] 8 subjects x 40 trials coverage (mu power test)"
-  timeout 4800 python benchmarks/hierarchical_coverage.py \
-    --reps 4 --seed 21 --subjects 8 --trials 40 --max-depth 8 \
+  # Work-per-transition envelope: depth-10 x 80-trial crashed the worker
+  # 3/3; depth-8 x 80-trial ran clean (round-3 finding). 8 subjects x 40
+  # trials quadruples the per-leapfrog potential cost, so stay a depth
+  # lower (2^7 x 320 ~= the proven 2^8 x 80 work level) and halve the
+  # rows per launch (2 reps x 4 chains x 6 replicas = 48).
+  timeout 2400 python benchmarks/hierarchical_coverage.py \
+    --reps 2 --seed 21 --subjects 8 --trials 40 --max-depth 7 \
     --pt-replicas 6 --pt-beta-min 0.04 --batch-reps \
     --model mnle_1m_censor.npz \
     --out artifacts/hierarchical_coverage_pt_s8.json \
