@@ -191,6 +191,12 @@ def main():
         "nominal_level": args.level,
         "coverage_mu": cov_mu,
         "coverage_log_tau": cov_lt,
+        # Per-dimension coverage (theta dims: a0, lam, v, B, tau): if the mu
+        # deficit concentrates on one dim (e.g. tau, the known estimator-level
+        # rank bias from single-subject SBC), the cause is surrogate bias
+        # folding S-fold into the population location — not the hierarchy.
+        "coverage_mu_per_dim": cover_mu.mean(0).tolist(),
+        "coverage_log_tau_per_dim": cover_lt.mean(0).tolist(),
         "binomial_se": se,
         "n_intervals_per_block": n,
         "worst_rhat_per_rep": rhat_worst.tolist(),

@@ -14,10 +14,13 @@
 #           learned decision-time density near onset; fall back to the
 #           censored "log" rep + tau-slice to separate wall-handling from
 #           representation (cheap: reuses mnle_10m_censor-equivalent budget)
-#   hier4 — mu under-coverage follow-up: 8 subjects x 40 trials (double the
-#           population information; if mu coverage rises toward 0.9 the
-#           round-3 deficit was few-subject hyperprior sensitivity, not
-#           estimator bias folding into mu)
+#   hier4 — mu under-coverage follow-up: 8 subjects x 40 trials. The
+#           round-3-tail exact-likelihood control (hierarchical_exact_check:
+#           mu 0.925 / log_tau 0.895, PASS) exonerated the hierarchy +
+#           sampler chain, so the deficit is estimator-level; prediction
+#           here: mu coverage DROPS further at S=8 (shared MNLE bias folds
+#           S-fold while the posterior narrows). A rise toward 0.9 would
+#           falsify that attribution.
 set -u
 cd /root/repo
 export MODEL_DIR="${MODEL_DIR:-/root/repo/artifacts/models}"

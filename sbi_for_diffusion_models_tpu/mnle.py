@@ -893,6 +893,40 @@ def _run_sbc_batched(
                 f"{' x ' + str(R) + ' replicas' if R > 1 else ''} "
                 f"mean_accept={accepts[-1]:.3f} divergences={div_str}{sw_str}"
             )
+        # Incremental partial results: a wall-clock-capped or crashed run
+        # must leave a READABLE uniformity readout over the datasets it
+        # finished — not just opaque NUTS segment checkpoints. (Headline
+        # 96-dataset SBC runs take ~1.5 h; round-3 sessions repeatedly lost
+        # the whole summary to tunnel drops and timeouts.) Cheap: ranks are
+        # O(D*S*dim) host work per group.
+        done = min((g + 1) * G, D)
+        part = np.concatenate(pooled_groups, axis=0)[:done]
+        tt_np = np.asarray(theta_true)
+        part_ranks = (part < tt_np[:done, None, :]).sum(axis=1)
+        partial = {
+            "datasets_done": int(done),
+            "datasets_total": int(D),
+            "rhat_max_per_dataset": [float(v) for v in rhat_per_ds[:done]],
+            "min_ess_per_dataset": [float(v) for v in ess_per_ds[:done]],
+            "divergences_per_dataset": [float(v) for v in div_per_ds[:done]],
+        }
+        if done >= 8:  # uniformity tests are meaningless below ~8 datasets
+            try:
+                from .analysis import sbc_uniformity_stats
+
+                stats = sbc_uniformity_stats(part_ranks, post_samples)
+                partial.update(
+                    ks_pvalues=stats["ks_pvalues"],
+                    chi2_pvalues=stats["chi2_pvalues"],
+                )
+            except Exception:  # scipy quirks must not kill the run
+                pass
+        np.save(outdir / "sbc_ranks.partial.npy", part_ranks)
+        import json as _json
+
+        (outdir / "partial_summary.json").write_text(
+            _json.dumps(partial, indent=2)
+        )
 
     samples_np = np.concatenate(pooled_groups, axis=0)[:D]
     thetas_true_np = np.asarray(theta_true)

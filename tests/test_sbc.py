@@ -67,6 +67,15 @@ def test_run_sbc_batched_shapes_and_files(tiny_setup, tmp_path):
     assert div.shape == (2,)
     assert np.isfinite(div).all() and (div >= 0).all()
     assert "divergences" in np.load(tmp_path / "sbc_mixing_diagnostics.npz")
+    # Incremental partials: every completed group leaves a readable
+    # rank/mixing snapshot so capped or crashed long runs aren't opaque.
+    import json
+
+    partial = json.loads((tmp_path / "partial_summary.json").read_text())
+    assert partial["datasets_done"] == partial["datasets_total"] == 2
+    assert len(partial["rhat_max_per_dataset"]) == 2
+    part_ranks = np.load(tmp_path / "sbc_ranks.partial.npy")
+    np.testing.assert_array_equal(part_ranks, out["ranks"])
 
 
 def test_run_sbc_serial_matches_interface(tiny_setup, tmp_path):
