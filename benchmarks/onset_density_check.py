@@ -83,6 +83,13 @@ def left_tail_excess(rt_sim, rt_est, t_nd, t_max):
     """
     dt_sim = rt_sim[rt_sim < t_max - 1e-6] - t_nd
     dt_est = rt_est[rt_est < t_max - 1e-6] - t_nd
+    # Both arrays are CONDITIONAL on non-censoring: a differing censored
+    # fraction between simulator and model shifts the nominal-p anchor
+    # slightly (the per-condition censor fraction is recorded in bin_mass).
+    # An all-censored condition has no decision-time draws at all — record
+    # null rather than NaN-poisoning the headline mean (ADVICE round 3).
+    if dt_sim.size == 0 or dt_est.size == 0:
+        return {str(p_): None for p_ in LEFT_TAIL_PS}
     out = {}
     for p_ in LEFT_TAIL_PS:
         q = float(np.quantile(dt_sim, p_))
@@ -175,20 +182,30 @@ def main():
                 "mnle": m_est,
                 "left_tail_cdf_at_sim_q": tail,
             })
+            t1 = tail["0.01"]
             print(
                 f"[onset] {name} t_nd={t_nd:.3f}: model CDF at sim q1% = "
-                f"{tail['0.01']:.4f} (nominal 0.01), below-onset "
+                f"{'n/a (all censored)' if t1 is None else format(t1, '.4f')} "
+                f"(nominal 0.01), below-onset "
                 f"sim={m_sim['below_onset']:.2e} mnle={m_est['below_onset']:.2e}",
                 flush=True,
             )
-        excess_1pct = [r["left_tail_cdf_at_sim_q"]["0.01"] for r in rows]
+        excess_1pct = [
+            r["left_tail_cdf_at_sim_q"]["0.01"]
+            for r in rows
+            if r["left_tail_cdf_at_sim_q"]["0.01"] is not None
+        ]
         report["models"][name] = {
-            "rep": (est.train_meta or {}).get("rt_rep"),
+            # train_meta only records num_train/epochs/val-loss; the RT
+            # representation lives on the model config (ADVICE round 3).
+            "rep": est.cfg.rt_rep,
             "conditions": rows,
             # Headline: mean model mass below the simulator's 1% decision-
             # time quantile (nominal 0.01); >> 0.01 = left-heavy dt density,
             # the tau-bias mechanism.
-            "mean_left_tail_mass_at_sim_q1pct": float(np.mean(excess_1pct)),
+            "mean_left_tail_mass_at_sim_q1pct": (
+                float(np.mean(excess_1pct)) if excess_1pct else None
+            ),
             "max_below_onset_mass": max(
                 r["mnle"]["below_onset"] for r in rows
             ),
@@ -201,9 +218,10 @@ def main():
         if "error" in m:
             print(f"[onset] {name}: {m['error']}")
         else:
+            mlt = m["mean_left_tail_mass_at_sim_q1pct"]
             print(
                 f"[onset] {name}: mean left-tail mass at sim q1% = "
-                f"{m['mean_left_tail_mass_at_sim_q1pct']:.4f} "
+                f"{'n/a' if mlt is None else format(mlt, '.4f')} "
                 f"(nominal 0.0100), max below-onset mass "
                 f"{m['max_below_onset_mass']:.2e}"
             )
