@@ -76,6 +76,13 @@ def main():
                    help="log-reparameterize the LogNormal condition dims "
                         "(lam, v, B) before z-scoring (MNLE_LOG_THETA_DIMS="
                         "(1,2,3)); targets the shared v/B SBC shrinkage")
+    p.add_argument("--tail-sharp-k", type=float, default=None,
+                   help="left-tail sharpening strength k (MNLE_TAIL_SHARP_K;"
+                        " doubly-exponential near-onset decay, the round-4 "
+                        "tau-bias fix); 0/unset = off")
+    p.add_argument("--tail-sharp-c", type=float, default=None,
+                   help="sharpening onset c in standardized flow units "
+                        "(MNLE_TAIL_SHARP_C, default -3.5)")
     p.add_argument(
         "--reuse-model",
         action="store_true",
@@ -160,6 +167,10 @@ def main():
         cfg = cfg.replace(MNLE_CENSOR_RT=True)
     if args.log_theta:
         cfg = cfg.replace(MNLE_LOG_THETA_DIMS=(1, 2, 3))
+    if args.tail_sharp_k is not None:
+        cfg = cfg.replace(MNLE_TAIL_SHARP_K=args.tail_sharp_k)
+    if args.tail_sharp_c is not None:
+        cfg = cfg.replace(MNLE_TAIL_SHARP_C=args.tail_sharp_c)
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
     proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))
@@ -219,6 +230,18 @@ def main():
     sbc_wall = time.time() - t0
 
     stats = sbc_uniformity_stats(sbc["ranks"], args.post_samples)
+    # Mixed-only uniformity (round-3 VERDICT #2): the headline p-values must
+    # be attributable to converged chains. The driver already remediated
+    # flagged datasets (run_config.SBC_REMEDIATE); any still flagged after
+    # remediation are excluded here and reported separately.
+    flagged_final = np.asarray(sbc.get("flagged_final") or [], dtype=int)
+    stats_mixed = None
+    if flagged_final.size:
+        good = np.setdiff1d(np.arange(args.datasets), flagged_final)
+        if good.size >= 8:
+            stats_mixed = sbc_uniformity_stats(
+                np.asarray(sbc["ranks"])[good], args.post_samples
+            )
     # True simulation budget comes from the model's own training metadata
     # when reusing a saved model — round 1 wrote the CLI default here, making
     # the summaries inconsistent with the runs that produced them.
@@ -236,6 +259,14 @@ def main():
         "sbc_wall_s": sbc_wall,
         "ks_pvalues": stats["ks_pvalues"],
         "chi2_pvalues": stats["chi2_pvalues"],
+        "ks_pvalues_mixed_only": (
+            stats_mixed["ks_pvalues"] if stats_mixed else None
+        ),
+        "chi2_pvalues_mixed_only": (
+            stats_mixed["chi2_pvalues"] if stats_mixed else None
+        ),
+        "remediation": sbc.get("remediation"),
+        "flagged_final": flagged_final.tolist(),
         "ranks_mean": np.asarray(sbc["ranks"]).mean(0).tolist(),
         "backend": jax.default_backend(),
         "warmup": args.warmup,

@@ -56,7 +56,11 @@ def main():
     p.add_argument("--max-depth", type=int, default=10,
                    help="NUTS max tree depth; 8 roughly halves rep cost "
                         "(verify worst R-hat stays ~1) ")
-    p.add_argument("--model", type=str, default="mnle_1m_censor.npz")
+    p.add_argument("--model", type=str, default="mnle_1m_censor.npz",
+                   help="saved model filename; a comma-separated list loads "
+                        "a deep ensemble (mnle.MNLEEnsemble mixture "
+                        "likelihood), which duck-types dispatch_log_prob "
+                        "through the hierarchical potential")
     p.add_argument("--pt-replicas", type=int, default=1,
                    help="parallel-tempering replicas per chain; >1 fixes the "
                         "worst-rep R-hat~2 multimodal stalls plain NUTS shows "
@@ -89,7 +93,13 @@ def main():
 
     prior = build_prior_theta()
     model = HierarchicalModel.from_prior(prior)
-    est = load_model(args.model)
+    if "," in args.model:
+        from sbi_for_diffusion_models_tpu.mnle import load_ensemble
+
+        est = load_ensemble(args.model)
+        print(f"[hier_cov] {len(est.members)}-member ensemble: {args.model}")
+    else:
+        est = load_model(args.model)
     D = model.theta_dim
     S = args.subjects
     lo_q = (1.0 - args.level) / 2.0

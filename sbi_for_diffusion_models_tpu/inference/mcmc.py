@@ -375,10 +375,15 @@ def make_dim_slice(index: int, width: float = 1.0, max_stepout: int = 6,
     the same ``mode_hop`` hook of run_nuts/run_slice (hop(key, u, logp, g,
     vg_fn) -> (u, logp, g), applied once per transition).
 
-    Exactness notes: the stepping-out loop runs a FIXED max_stepout
-    expansions per side (re-evaluating in place once the slice edge is
-    found) — interval-limited stepping out is a valid slice kernel for any
-    fixed cap (Neal 2003 s.4.1). The shrinkage loop is capped at
+    Exactness notes: stepping out uses Neal's LIMITED procedure (Neal 2003
+    fig. 3): the total expansion budget m = 2*max_stepout is split randomly
+    between the sides, J ~ U{0..m-1} to the left and K = m-1-J to the
+    right. The randomized split is what makes the kernel reversible when
+    the budget binds — a deterministic expand-both-sides-to-cap rule is NOT
+    a valid slice kernel in the binding regime (the interval reachable from
+    x0 would not equal the interval reachable from x1), which is exactly
+    the regime a hard wall creates. Exercised by the cap-binding invariance
+    test (narrow width, wide target). The shrinkage loop is capped at
     max_shrink; on the (never observed at default settings) cap hit the
     move returns the current state, which is a valid (identity) kernel.
     Non-finite proposals are treated as density zero, so -inf walls and
@@ -396,22 +401,27 @@ def make_dim_slice(index: int, width: float = 1.0, max_stepout: int = 6,
         lp, _ = vg_fn(u.at[index].set(x))
         return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
 
+    m_total = 2 * int(max_stepout)
+
     def move(key, u, logp, g, vg_fn):
-        k_y, k_off, k_sh = jax.random.split(key, 3)
+        k_y, k_off, k_j, k_sh = jax.random.split(key, 4)
         x0 = u[index]
         # Slice level under the current (finite) logp.
         logy = logp + jnp.log1p(-jax.random.uniform(k_y))
         lo0 = x0 - jax.random.uniform(k_off) * w
         hi0 = lo0 + w
+        # Neal's randomized per-side budget: J left, K = m-1-J right.
+        j_budget = jax.random.randint(k_j, (), 0, m_total)
+        k_budget = (m_total - 1) - j_budget
 
-        def expand(sign, edge):
-            def body(_, x):
-                above = _lp(vg_fn, u, x) > logy
+        def expand(sign, edge, budget):
+            def body(i, x):
+                above = (i < budget) & (_lp(vg_fn, u, x) > logy)
                 return jnp.where(above, x + sign * w, x)
-            return lax.fori_loop(0, max_stepout, body, edge)
+            return lax.fori_loop(0, m_total - 1, body, edge)
 
-        lo = expand(-1.0, lo0)
-        hi = expand(1.0, hi0)
+        lo = expand(-1.0, lo0, j_budget)
+        hi = expand(1.0, hi0, k_budget)
 
         def cond(c):
             _, _, _, done, it, _ = c

@@ -14,6 +14,7 @@ instead of the reference's serial Python loop (reference mnle.py:183).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from pathlib import Path
@@ -159,6 +160,8 @@ def train_mnle(
         rt_rep=cfg.MNLE_RT_REP,
         grid_anchor=cfg.MNLE_GRID_ANCHOR,
         log_condition_dims=cfg.MNLE_LOG_THETA_DIMS,
+        tail_sharp_k=cfg.MNLE_TAIL_SHARP_K,
+        tail_sharp_c=cfg.MNLE_TAIL_SHARP_C,
     )
     if any(d >= z.shape[1] for d in mcfg.log_condition_dims):
         raise ValueError(
@@ -202,6 +205,23 @@ def train_mnle(
     else:
         x_mean = jnp.mean(t)
         x_std = jnp.maximum(jnp.std(t), 1e-6)
+
+    if mcfg.tail_sharp_k > 0 and mcfg.tail_sharp_c is None:
+        # Auto threshold (MNLE_TAIL_SHARP_C=None): place c just below the
+        # TRAINING data's left edge in standardized flow units, so the
+        # doubly-exponential suppression starts exactly where observed
+        # decision times end — real data is never distorted, while the
+        # below-support region (where the one-sided tau bias lives) is.
+        t_np = np.asarray(t)
+        if mcfg.censor_rt:
+            t_np = t_np[np.asarray(x[:, 1]) != mcfg.censored_category]
+        c_auto = float(
+            (np.quantile(t_np, 1e-3) - float(x_mean)) / float(x_std) - 0.25
+        )
+        mcfg = dataclasses.replace(mcfg, tail_sharp_c=c_auto)
+        if verbose:
+            print(f"[train_mnle] tail_sharp_c auto -> {c_auto:.3f} "
+                  f"(q0.001 of standardized training t - 0.25)")
 
     estimator = build_mnle(
         jax.random.fold_in(key, 0),
@@ -751,26 +771,47 @@ def _run_sbc_batched(
         _shutil.rmtree(ckpt_root)
     ckpt_root.mkdir(parents=True, exist_ok=True)
     run_id_file.write_text(run_id)
+    # Stale partials from a previous run in the same outdir would read as a
+    # (misleading) snapshot of THIS run until group 1 lands; clear them up
+    # front (the run_id guard above already does this for NUTS segments).
+    for stale in ("sbc_ranks.partial.npy", "partial_summary.json"):
+        (outdir / stale).unlink(missing_ok=True)
     if verbose:
         print(
             f"[run_sbc] batched: {n_groups} groups of {G} datasets x {C} chains, "
             f"{per_chain} draws/chain (first group includes the NUTS compile)",
             flush=True,
         )
-    for g in range(n_groups):
-        lo = g * G
-        idx = (jnp.arange(G) + lo) % D  # pad final group by wrap-around
+    from .inference.diagnostics import effective_sample_size, split_r_hat
+
+    def _mixing_stats(cold_gi):
+        """(split-R-hat max, min-ESS) over one dataset's cold chains."""
+        if C >= 2 and per_chain >= 10:
+            return (
+                float(np.max(split_r_hat(cold_gi))),
+                float(np.min(effective_sample_size(cold_gi))),
+            )
+        return (float("nan"), float("nan"))
+
+    def _launch(idx, k_init, k_run, warmup, ladder_arr, ckpt_name):
+        """One sampler launch over len(idx) datasets x C chains x R replicas.
+
+        Shared by the main pass and the mixing-remediation pass (same
+        program modulo warmup/ladder). Returns (cold draws
+        (Gl, C, per_chain, dim) np.ndarray, per-dataset cold divergence
+        counts or None, mean accept, total divergences or None,
+        swap acceptance or None).
+        """
+        Gl = int(idx.shape[0])
         x_g = x_d[idx]
         s_g = s_d[idx]
-        init_theta = prior_theta.sample(
-            jax.random.fold_in(key, 300 + g), (G * C * R,)
-        )
+        init_theta = prior_theta.sample(k_init, (Gl * C * R,))
         init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
         data = jax.tree.map(lambda a: jnp.repeat(a, C * R, axis=0), (x_g, s_g))
         if R > 1:
-            beta_rows = jnp.tile(jnp.asarray(ladder, jnp.float32), G * C)
+            beta_rows = jnp.tile(jnp.asarray(ladder_arr, jnp.float32), Gl * C)
             data = data + (beta_rows,)
-        n_real_chains = G * C * R
+        n_real_chains = Gl * C * R
         if mesh is not None:
             # Shard the folded (dataset x chain x replica) axis over the
             # mesh: rows only couple within a replica group (the DEO swap),
@@ -805,10 +846,10 @@ def _run_sbc_batched(
             from .inference.slice import run_slice
 
             samples_u, info = run_slice(
-                jax.random.fold_in(key, 400 + g),
+                k_run,
                 logp,
                 init_u,
-                num_warmup=cfg.WARMUP_STEPS,
+                num_warmup=warmup,
                 num_samples=per_chain,
                 thin=cfg.MCMC_THIN,
                 data=data,
@@ -816,10 +857,10 @@ def _run_sbc_batched(
             )
         else:
             samples_u, info = run_nuts(
-                jax.random.fold_in(key, 400 + g),
+                k_run,
                 logp,
                 init_u,
-                num_warmup=cfg.WARMUP_STEPS,
+                num_warmup=warmup,
                 num_samples=per_chain,
                 max_depth=cfg.MCMC_MAX_TREE_DEPTH,
                 target_accept=cfg.MCMC_TARGET_ACCEPT,
@@ -827,60 +868,68 @@ def _run_sbc_batched(
                 data=data,
                 mode_hop=mode_hop,
                 exchange=exchange,
-                checkpoint_dir=(
-                    str(outdir / "nuts_ckpt" / f"group_{g}")
-                ),
+                checkpoint_dir=str(outdir / "nuts_ckpt" / ckpt_name),
             )
         samples_u = samples_u[:n_real_chains]  # drop mesh-padding chains
-        theta_s = bij.forward(samples_u)  # (G*C*R, S, dim)
+        theta_s = bij.forward(samples_u)  # (Gl*C*R, S, dim)
         dim = theta_s.shape[-1]
-        # Keep only the cold (beta = 1) rung of each replica group, then
-        # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
-        theta_cold = theta_s.reshape(G, C, R, per_chain, dim)[:, :, 0]
-        pooled = (
-            theta_cold
-            .swapaxes(1, 2)
-            .reshape(G, C * per_chain, dim)[:, :post_samples]
-        )
-        pooled_groups.append(np.asarray(pooled))
-        # Per-dataset mixing diagnostics over the COLD chains: pooled ranks
-        # from unmixed chains silently bias every headline uniformity
-        # number (round-2 finding: split-R-hat up to ~365 with zero
-        # divergences), so record split-R-hat and min-ESS per dataset.
-        from .inference.diagnostics import effective_sample_size, split_r_hat
-
-        cold_np = np.asarray(theta_cold)  # (G, C, S, dim)
+        # Keep only the cold (beta = 1) rung of each replica group.
+        theta_cold = theta_s.reshape(Gl, C, R, per_chain, dim)[:, :, 0]
         # Per-dataset divergence counts over the cold chains (NUTS only):
         # divergences concentrate on datasets whose posterior mass piles
         # against hard likelihood boundaries (e.g. the shifted-log onset
         # wall), and a pooled per-group count hides which ones.
         div_cold = None
         if "diverging" in info and np.asarray(info["diverging"]).ndim == 2:
-            div_np = np.asarray(info["diverging"])[:n_real_chains]
-            div_cold = (
-                div_np.reshape(G, C, R, -1)[:, :, 0].sum(axis=(1, 2))
-            )  # (G,)
+            d_np = np.asarray(info["diverging"])[:n_real_chains]
+            div_cold = d_np.reshape(Gl, C, R, -1)[:, :, 0].sum(axis=(1, 2))
+        acc = float(jnp.mean(info["accept_prob"]))
+        div_total = (
+            int(jnp.sum(info["diverging"])) if "diverging" in info else None
+        )
+        return (
+            np.asarray(theta_cold),
+            div_cold,
+            acc,
+            div_total,
+            info.get("swap_accept"),
+        )
+
+    for g in range(n_groups):
+        lo = g * G
+        idx = (jnp.arange(G) + lo) % D  # pad final group by wrap-around
+        cold_np, div_cold, acc, div_total, swap = _launch(
+            idx,
+            jax.random.fold_in(key, 300 + g),
+            jax.random.fold_in(key, 400 + g),
+            cfg.WARMUP_STEPS,
+            ladder,
+            f"group_{g}",
+        )
+        # (G, C, S, dim) -> interleave chains -> (G, C*S, dim) -> trim.
+        pooled = (
+            cold_np.swapaxes(1, 2)
+            .reshape(G, C * per_chain, -1)[:, :post_samples]
+        )
+        pooled_groups.append(pooled)
+        # Per-dataset mixing diagnostics over the COLD chains: pooled ranks
+        # from unmixed chains silently bias every headline uniformity
+        # number (round-2 finding: split-R-hat up to ~365 with zero
+        # divergences), so record split-R-hat and min-ESS per dataset.
         for gi in range(G):
             if lo + gi >= D:
                 break  # wrap-around padding of the final group
             div_per_ds.append(
                 float(div_cold[gi]) if div_cold is not None else float("nan")
             )
-            if C >= 2 and per_chain >= 10:
-                rhat_per_ds.append(float(np.max(split_r_hat(cold_np[gi]))))
-                ess_per_ds.append(
-                    float(np.min(effective_sample_size(cold_np[gi])))
-                )
-            else:
-                rhat_per_ds.append(float("nan"))
-                ess_per_ds.append(float("nan"))
+            r_, e_ = _mixing_stats(cold_np[gi])
+            rhat_per_ds.append(r_)
+            ess_per_ds.append(e_)
         # Report only statistics the sampler actually produced: slice has no
         # divergence notion (its accept_prob is the shrinkage success rate).
-        accepts.append(float(jnp.mean(info["accept_prob"])))
-        divergences.append(
-            int(jnp.sum(info["diverging"])) if "diverging" in info else None
-        )
-        swap_accepts.append(info.get("swap_accept"))
+        accepts.append(acc)
+        divergences.append(div_total)
+        swap_accepts.append(swap)
         if verbose:
             div_str = "n/a" if divergences[-1] is None else str(divergences[-1])
             sw_str = (
@@ -921,14 +970,98 @@ def _run_sbc_batched(
                 )
             except Exception:  # scipy quirks must not kill the run
                 pass
-        np.save(outdir / "sbc_ranks.partial.npy", part_ranks)
+        # Atomic: write to a temp file then os.replace, so a crash mid-write
+        # never leaves a corrupt/truncated snapshot (ADVICE round 3).
         import json as _json
+        import os as _os
 
-        (outdir / "partial_summary.json").write_text(
-            _json.dumps(partial, indent=2)
-        )
+        tmp_npy = outdir / "sbc_ranks.partial.tmp.npy"
+        np.save(tmp_npy, part_ranks)
+        _os.replace(tmp_npy, outdir / "sbc_ranks.partial.npy")
+        tmp_js = outdir / "partial_summary.json.tmp"
+        tmp_js.write_text(_json.dumps(partial, indent=2))
+        _os.replace(tmp_js, outdir / "partial_summary.json")
 
     samples_np = np.concatenate(pooled_groups, axis=0)[:D]
+    rhat_np = np.asarray(rhat_per_ds[:D], dtype=float)
+    ess_np = np.asarray(ess_per_ds[:D], dtype=float)
+    div_np = np.asarray(div_per_ds[:D], dtype=float)
+
+    # ---- Mixing gate + remediation (round-3 VERDICT #2): rather than pool
+    # ranks from unmixed chains, re-run flagged datasets ONCE with doubled
+    # warmup and a hotter ladder, substitute their draws unconditionally
+    # (the remediated config strictly dominates, so this is not a
+    # cherry-pick between runs), and record before/after diagnostics. The
+    # reference pools blindly (reference mnle.py:218).
+    def _flagged_idx():
+        return np.where(
+            (~np.isfinite(rhat_np))
+            | (rhat_np > cfg.SBC_RHAT_GATE)
+            | (ess_np < cfg.SBC_MIN_ESS_GATE)
+        )[0]
+
+    gate_active = C >= 2 and per_chain >= 10
+    remediation = None
+    flagged0 = _flagged_idx() if gate_active else np.asarray([], dtype=int)
+    if cfg.SBC_REMEDIATE and flagged0.size:
+        todo = flagged0[: int(cfg.SBC_REMEDIATE_MAX)]
+        warm2 = 2 * cfg.WARMUP_STEPS
+        beta2 = 0.5 * cfg.MCMC_PT_BETA_MIN if R > 1 else None
+        hot = geometric_ladder(R, beta2) if R > 1 else ladder
+        if verbose:
+            print(
+                f"[run_sbc] mixing gate: {flagged0.size}/{D} datasets flagged "
+                f"(R-hat > {cfg.SBC_RHAT_GATE} or min-ESS < "
+                f"{cfg.SBC_MIN_ESS_GATE}); remediating {todo.size} with "
+                f"warmup {warm2}"
+                + (f", beta_min {beta2}" if beta2 is not None else ""),
+                flush=True,
+            )
+        rhat_before = rhat_np[todo].tolist()
+        for rg in range(_math.ceil(todo.size / G)):
+            sub = todo[rg * G:(rg + 1) * G]
+            idx = jnp.asarray(np.resize(sub, G))  # pad by wrap within sub
+            cold_np, div_cold, acc, div_total, swap = _launch(
+                idx,
+                jax.random.fold_in(key, 7000 + rg),
+                jax.random.fold_in(key, 7100 + rg),
+                warm2,
+                hot,
+                f"remed_{rg}",
+            )
+            for gi, ds in enumerate(sub.tolist()):
+                samples_np[ds] = (
+                    cold_np[gi].swapaxes(0, 1)
+                    .reshape(C * per_chain, -1)[:post_samples]
+                )
+                rhat_np[ds], ess_np[ds] = _mixing_stats(cold_np[gi])
+                if div_cold is not None:
+                    div_np[ds] = float(div_cold[gi])
+            if swap is not None:
+                swap_accepts.append(swap)
+            if verbose:
+                print(
+                    f"[run_sbc] remediation group {rg + 1}: datasets "
+                    f"{sub.tolist()} mean_accept={acc:.3f}",
+                    flush=True,
+                )
+        still = _flagged_idx()
+        remediation = {
+            "flagged": [int(v) for v in flagged0],
+            "remediated": [int(v) for v in todo],
+            "warmup": int(warm2),
+            "beta_min": beta2,
+            "rhat_before": rhat_before,
+            "rhat_after": [float(v) for v in rhat_np[todo]],
+            "still_flagged": [int(v) for v in still],
+        }
+        if verbose:
+            print(
+                f"[run_sbc] remediation: {int(still.size)}/{D} datasets "
+                f"still flagged after re-run",
+                flush=True,
+            )
+
     thetas_true_np = np.asarray(theta_true)
     ranks = (samples_np < thetas_true_np[:, None, :]).sum(axis=1)
     if verbose:
@@ -941,14 +1074,14 @@ def _run_sbc_batched(
     # thinning/autocorrelation checks on the rank statistic, per-dataset
     # posterior inspection — without re-running the SBC (~1 MB at 96x600x5).
     np.save(outdir / "sbc_samples.npy", samples_np.astype(np.float32))
-    rhat_np = np.asarray(rhat_per_ds[:D])
-    ess_np = np.asarray(ess_per_ds[:D])
-    div_np = np.asarray(div_per_ds[:D])
     np.savez(
         outdir / "sbc_mixing_diagnostics.npz",
         rhat_max=rhat_np,
         min_ess=ess_np,
         divergences=div_np,
+        flagged_final=(
+            _flagged_idx() if gate_active else np.asarray([], dtype=int)
+        ),
     )
     if verbose:
         print(f"[run_sbc] wrote {outdir / 'sbc_thetas_true.npy'}")
@@ -969,6 +1102,10 @@ def _run_sbc_batched(
         "min_ess": ess_np,
         "divergences_per_dataset": div_np,
         "swap_accept": [s for s in swap_accepts if s is not None] or None,
+        "remediation": remediation,
+        "flagged_final": (
+            [int(v) for v in _flagged_idx()] if gate_active else []
+        ),
     }
 
 

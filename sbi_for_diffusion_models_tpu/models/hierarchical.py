@@ -202,6 +202,7 @@ def run_hierarchical_inference(
     pt_replicas: int = 1,
     pt_beta_min: float = 0.04,
     segment_length: int = 50,
+    logprob_kernel: str = "auto",
     mesh=None,
     seed=0,
     verbose: bool = True,
@@ -241,22 +242,28 @@ def run_hierarchical_inference(
     D = model.theta_dim
     est = density_estimator
 
+    # One batched log-prob call over all S*T trial rows per potential
+    # evaluation, dispatched to the fused Pallas kernel on TPU (round-3
+    # VERDICT #5): the previous per-trial nested vmap through
+    # est.log_prob_fn evaluated S x T tiny forwards per leapfrog and was
+    # the hierarchical coverage benchmark's wall-clock bottleneck (29 min
+    # per 4-rep block). The same dispatch gave single-subject MCMC its
+    # 2.5x (ops/mnle_pallas.make_fused_logprob). MNLEEnsemble duck-types
+    # dispatch_log_prob, so the mixture likelihood threads through the
+    # hierarchy unchanged.
+    lp_fn = est.dispatch_log_prob(logprob_kernel)
+    P_dim = ps.shape[-1]
+
     def ll_rep(q, rep):
         """MNLE data likelihood of dataset ``rep`` — the tempered term
         under PT."""
-        x_r = jnp.take(xs, rep, axis=0)  # (S, T, 2)
-        s_r = jnp.take(ps, rep, axis=0)  # (S, T, P)
+        x_r = jnp.take(xs, rep, axis=0).reshape(S * T, 2)
+        s_r = jnp.take(ps, rep, axis=0).reshape(S * T, P_dim)
         u_s = model.subject_u(q, S)  # (S, D)
         theta_s = bij.forward(u_s)
-
-        def subject_ll(theta_i, x_i, s_i):
-            def per_trial(x_t, s_t):
-                cond = jnp.concatenate([theta_i, s_t], axis=-1)
-                return est.log_prob_fn(est.params, x_t, cond)
-
-            return jnp.sum(jax.vmap(per_trial)(x_i, s_i))
-
-        return jnp.sum(jax.vmap(subject_ll)(theta_s, x_r, s_r))
+        theta_rows = jnp.repeat(theta_s, T, axis=0)  # (S*T, D)
+        cond = jnp.concatenate([theta_rows, s_r], axis=-1)
+        return jnp.sum(lp_fn(x_r, cond))
 
     def ll_fn(q):
         return ll_rep(q, 0)

@@ -130,6 +130,27 @@ class MNLEConfig:
     pulse_interval: float = 0.1
     euler_dt: float = 5e-4
     tnd_index: int = 4
+    # Left-tail sharpening (rt_rep "log"/"shifted_log"): a FIXED monotone
+    # pre-transform phi(t) = t - exp(-k (t - c)) / k applied to the
+    # standardized flow coordinate before the spline stack, with
+    # log|phi'| = log1p(exp(-k (t - c))). Motivation (round-4): diffusion
+    # first-passage density decays DOUBLY exponentially as dt -> 0
+    # (p(dt) ~ dt^{-3/2} exp(-c/dt)), but the flow's Gaussian base decays
+    # only like exp(-t^2/2) in log-decision-time space — the structural
+    # near-onset overdensity that lets the sampler trade t_nd upward while
+    # still "explaining" the smallest RTs (the measured one-sided tau SBC
+    # bias that survives the exact-onset shifted_log rep,
+    # artifacts/calibration_shifted10m_slice_96). phi leaves the data bulk
+    # (t > c) untouched where the spline can reshape freely, and pushes
+    # t < c doubly-exponentially into the base's tail — a region the
+    # linear-tail spline CANNOT undo, so the learned density inherits the
+    # correct super-Gaussian left decay at any budget. k = 0 disables
+    # (default; all previously saved models load unchanged).
+    tail_sharp_k: float = 0.0
+    # None is a TRAINING-TIME sentinel (mnle.train_mnle resolves it to just
+    # below the training data's left edge in standardized units before the
+    # network is built); a built estimator always carries a concrete float.
+    tail_sharp_c: float | None = -3.5
     # Grid anchor for rt_rep="pulse".
     #
     # "tnd": slots anchored at the trial's own t_nd — the atom sits at a
@@ -190,6 +211,36 @@ def shifted_rt_transform(cfg: "MNLEConfig", rt, condition):
     t = jnp.log(jnp.maximum(dt, floor))
     barrier = -50.0 * jax.nn.relu(floor - dt)
     return t, -t, barrier
+
+
+def tail_sharp_transform(cfg: "MNLEConfig", t):
+    """phi(t) = t - exp(-k (t - c)) / k on the standardized flow coordinate
+    (see MNLEConfig.tail_sharp_k). Returns (phi(t), log|phi'(t)|). The
+    exponent is clamped at 30 (exp(30) ~ 1e13) so far-below-onset proposals
+    produce a finite, astronomically negative log-density with finite
+    gradients instead of inf/NaN (the tau-slice/grid-hop moves evaluate
+    there)."""
+    k = cfg.tail_sharp_k
+    e = jnp.exp(jnp.minimum(-k * (t - cfg.tail_sharp_c), 30.0))
+    return t - e / k, jnp.log1p(e)
+
+
+def tail_sharp_inverse(cfg: "MNLEConfig", y):
+    """Inverse of :func:`tail_sharp_transform` by Newton iteration (phi is
+    smooth, strictly increasing, concave; phi' >= 1 keeps steps bounded).
+    Sampling-path only — log_prob never needs it."""
+    k = cfg.tail_sharp_k
+    c = cfg.tail_sharp_c
+    # Branch-aware init: identity region above c, asymptotic
+    # y ~ -exp(-k (t - c)) / k below it.
+    t = jnp.where(y > c, y, c - jnp.log1p(k * jnp.maximum(c - y, 0.0)) / k)
+
+    def step(t, _):
+        e = jnp.exp(jnp.minimum(-k * (t - c), 30.0))
+        return t - (t - e / k - y) / (1.0 + e), None
+
+    t, _ = jax.lax.scan(step, t, None, length=30)
+    return t
 
 
 def pulse_grid_split(cfg: "MNLEConfig", rt, t_nd):
@@ -523,6 +574,9 @@ class MNLE:
         if cfg.z_score_x:
             t = (t - self.x_mean) / self.x_std
             log_det = log_det - jnp.log(self.x_std)
+        if cfg.tail_sharp_k > 0:
+            t, ld_s = tail_sharp_transform(cfg, t)
+            log_det = log_det + ld_s
 
         flow_lp = self._net.apply(
             {"params": params}, t, ctx, onehot, method=MNLENet.flow_log_prob
@@ -600,6 +654,8 @@ class MNLE:
                 {"params": params}, k_flow, ctx, onehot, method=MNLENet.flow_sample
             )
             t = u
+            if cfg.tail_sharp_k > 0:
+                t = tail_sharp_inverse(cfg, t)
             if cfg.z_score_x:
                 t = t * self.x_std + self.x_mean
             if cfg.rt_rep == "shifted_log":

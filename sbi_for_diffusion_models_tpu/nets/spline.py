@@ -117,12 +117,31 @@ def _take_gather(arr, idx):
     return jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
 
 
-def _take_onehot(arr, idx):
-    """Per-row knot lookup as a masked sum over the (small) knot axis —
-    no gather, so it lowers inside Pallas TPU kernels (Mosaic has no
-    per-lane dynamic gather; a compare + select + reduce is pure VPU)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
-    return jnp.sum(jnp.where(iota == idx[..., None], arr, 0.0), axis=-1)
+def _bin_onehot(bin_knots, z, num_bins):
+    """Float one-hot (..., K) of the bin containing z, from ONE compare
+    sweep: S_j = [z >= knots[j+1]] for j < K-1, oh_j = S_{j-1} - S_j with
+    oh_0 = 1 - S_0 and oh_{K-1} = S_{K-2}. The top edge z == knots[K]
+    lands in bin K-1 (the _searchsorted clip). Built for the Pallas kernel
+    hot path: every knot lookup then becomes a weighted sum against this
+    ONE mask — the per-lookup iota/int-compare/select of _take_onehot was
+    ~40% of the fused MNLE kernel's per-transform VPU work (round-3
+    VERDICT #9)."""
+    dt = bin_knots.dtype
+    steps = (z[..., None] >= bin_knots[..., 1:num_bins]).astype(dt)  # (..., K-1)
+    lead = jnp.ones_like(steps[..., :1])
+    return jnp.concatenate([lead, steps], -1) - jnp.concatenate(
+        [steps, jnp.zeros_like(lead)], -1
+    )  # (..., K)
+
+
+def _take_lo(arr, oh):
+    """arr[..., k] via the bin one-hot: sum_j arr[..., j] * oh_j."""
+    return jnp.sum(arr[..., :-1] * oh, axis=-1)
+
+
+def _take_hi(arr, oh):
+    """arr[..., k + 1] via the same one-hot (shifted window)."""
+    return jnp.sum(arr[..., 1:] * oh, axis=-1)
 
 
 def rq_spline_forward(
@@ -166,16 +185,21 @@ def _rq_spline(inputs, params, *, num_bins, tail_bound, inverse, use_gather=True
     z = jnp.clip(inputs, -tail_bound, tail_bound)
 
     bin_knots = y_knots if inverse else x_knots
-    k = _searchsorted(bin_knots, z)
-
-    take = _take_gather if use_gather else _take_onehot
-
-    x_k = take(x_knots, k)
-    x_k1 = take(x_knots, k + 1)
-    y_k = take(y_knots, k)
-    y_k1 = take(y_knots, k + 1)
-    d_k = take(derivs, k)
-    d_k1 = take(derivs, k + 1)
+    if use_gather:
+        k = _searchsorted(bin_knots, z)
+        x_k = _take_gather(x_knots, k)
+        x_k1 = _take_gather(x_knots, k + 1)
+        y_k = _take_gather(y_knots, k)
+        y_k1 = _take_gather(y_knots, k + 1)
+        d_k = _take_gather(derivs, k)
+        d_k1 = _take_gather(derivs, k + 1)
+    else:
+        # Pallas hot path: one compare sweep -> float bin one-hot; all six
+        # knot lookups are weighted sums against it (VERDICT #9).
+        oh = _bin_onehot(bin_knots, z, num_bins)
+        x_k, x_k1 = _take_lo(x_knots, oh), _take_hi(x_knots, oh)
+        y_k, y_k1 = _take_lo(y_knots, oh), _take_hi(y_knots, oh)
+        d_k, d_k1 = _take_lo(derivs, oh), _take_hi(derivs, oh)
 
     w = x_k1 - x_k
     h = y_k1 - y_k
@@ -299,12 +323,16 @@ def rq_spline_circular(
         z = jnp.clip(z, 0.0, 1.0 - 1e-6)
 
     bin_knots = y_knots if inverse else x_knots
-    k = _searchsorted(bin_knots, z)
-    take = _take_gather if use_gather else _take_onehot
-
-    x_k, x_k1 = take(x_knots, k), take(x_knots, k + 1)
-    y_k, y_k1 = take(y_knots, k), take(y_knots, k + 1)
-    d_k, d_k1 = take(derivs, k), take(derivs, k + 1)
+    if use_gather:
+        k = _searchsorted(bin_knots, z)
+        x_k, x_k1 = _take_gather(x_knots, k), _take_gather(x_knots, k + 1)
+        y_k, y_k1 = _take_gather(y_knots, k), _take_gather(y_knots, k + 1)
+        d_k, d_k1 = _take_gather(derivs, k), _take_gather(derivs, k + 1)
+    else:
+        oh = _bin_onehot(bin_knots, z, num_bins)
+        x_k, x_k1 = _take_lo(x_knots, oh), _take_hi(x_knots, oh)
+        y_k, y_k1 = _take_lo(y_knots, oh), _take_hi(y_knots, oh)
+        d_k, d_k1 = _take_lo(derivs, oh), _take_hi(derivs, oh)
 
     w = x_k1 - x_k
     h = y_k1 - y_k

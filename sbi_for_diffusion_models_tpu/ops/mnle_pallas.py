@@ -397,6 +397,7 @@ def make_fused_logprob(
         _slot_features,
         pulse_grid_split,
         shifted_rt_transform,
+        tail_sharp_transform,
         transform_condition,
     )
 
@@ -444,6 +445,13 @@ def make_fused_logprob(
         if cfg.z_score_x:
             t = (t - est.x_mean) / est.x_std
             log_det = log_det - jnp.log(est.x_std)
+        if cfg.tail_sharp_k > 0:
+            # Left-tail sharpening rides OUTSIDE the kernel (it transforms
+            # the standardized coordinate the kernel consumes), so the
+            # fused spline math is untouched; see
+            # nets/mnle_net.tail_sharp_transform.
+            t, ld_s = tail_sharp_transform(cfg, t)
+            log_det = log_det + ld_s
         if cfg.censor_rt:
             # Censored rows carry no RT terms at all (kernel masks the
             # in-kernel spline log-det + base; the outer change-of-variables

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass(frozen=True)
@@ -108,6 +109,17 @@ class RunConfig:
     # measured shared SBC shrinkage corr(v_true, v_rank) = +0.2..0.4
     # (artifacts/calibration_*_96 round 3 analysis).
     MNLE_LOG_THETA_DIMS: tuple = ()
+    # Left-tail sharpening of the flow coordinate (round-4): a fixed
+    # monotone pre-transform giving the learned (log-)decision-time density
+    # the doubly-exponential near-onset decay of true diffusion first
+    # passage, which a Gaussian-base flow structurally lacks — the root
+    # cause of the one-sided tau SBC bias that survives the exact-onset
+    # shifted_log rep (nets/mnle_net.MNLEConfig.tail_sharp_k). 0 = off.
+    MNLE_TAIL_SHARP_K: float = 0.0
+    # None = auto: set just below the training data's left edge in
+    # standardized flow units (q0.001 - 0.25), so observed decision times
+    # are untouched and only the below-support region is suppressed.
+    MNLE_TAIL_SHARP_C: Optional[float] = None
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4
@@ -152,6 +164,20 @@ class RunConfig:
     # by benchmarks/golden_parity.py --mimic-reference to replicate the
     # reference's fixed pyro-NUTS behavior (reference mnle.py:82-90).
     MCMC_AUTO_FALLBACK: bool = True
+
+    # SBC mixing gate (round-3 VERDICT #2): pooled ranks from unmixed
+    # chains silently bias the headline uniformity p-values, so the batched
+    # SBC driver flags datasets whose cold chains show split-R-hat above
+    # SBC_RHAT_GATE or min-ESS below SBC_MIN_ESS_GATE, re-runs up to
+    # SBC_REMEDIATE_MAX of them once with doubled warmup and a hotter
+    # ladder (beta_min halved), substitutes the remediated draws where they
+    # mixed better, and reports uniformity both pooled and mixed-only.
+    # (The reference prints per-dataset progress and pools blindly,
+    # reference mnle.py:218.)
+    SBC_RHAT_GATE: float = 1.05
+    SBC_MIN_ESS_GATE: float = 8.0
+    SBC_REMEDIATE: bool = True
+    SBC_REMEDIATE_MAX: int = 32
 
     # Simulator kernel: "auto" (pallas on TPU, scan elsewhere), "scan"
     # (pure XLA), or "pallas" (fused TPU kernel).

@@ -72,6 +72,33 @@ def test_simulate_and_infer_tiny():
     assert np.isfinite(out["raw"]).all()
 
 
+def test_hierarchical_inference_with_ensemble():
+    """MNLEEnsemble duck-types dispatch_log_prob through the hierarchical
+    potential (round-3 VERDICT #4: thread the ensemble through
+    run_hierarchical_inference), so the mixture likelihood drives joint
+    NUTS unchanged."""
+    from sbi_for_diffusion_models_tpu.mnle import MNLEEnsemble
+
+    prior = build_prior_theta()
+    _, x, pulses = simulate_hierarchical_sessions(
+        prior, num_subjects=2, trials_per_subject=4, seed=3
+    )
+    xp = jax.vmap(lambda xi: pack_x_rt_choice(xi, log_rt=False))(x)
+    cfg = MNLEConfig(
+        condition_dim=85, hidden_features=16, num_transforms=2, num_bins=5
+    )
+    ens = MNLEEnsemble(
+        [build_mnle(jax.random.key(k), cfg) for k in range(2)]
+    )
+    out = run_hierarchical_inference(
+        ens, prior, xp, pulses,
+        num_chains=2, num_warmup=15, num_samples=10, max_tree_depth=5,
+        verbose=False,
+    )
+    assert out["theta_subjects"].shape == (20, 2, 5)
+    assert np.isfinite(out["raw"]).all()
+
+
 def test_simulate_returns_hyperparams():
     """return_hyperparams exposes the generating (mu, log_tau) for coverage
     checks (benchmarks/hierarchical_coverage.py); hyper_shrink=1.0 samples

@@ -70,6 +70,40 @@ def test_training_learns_synthetic_likelihood():
     assert corr > 0.8, f"learned log-lik poorly correlated with truth: {corr}"
 
 
+def test_tail_sharp_auto_c_from_training_data(monkeypatch, tmp_path):
+    """MNLE_TAIL_SHARP_C=None resolves to just below the training data's
+    left edge in standardized units (train_mnle), so real decision times
+    are never distorted."""
+    key = jax.random.key(9)
+    N = 1500
+    z = jax.random.normal(jax.random.fold_in(key, 0), (N, 4))
+    rt = 0.3 + jnp.exp(
+        0.3 * z[:, 0]
+        + 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    )
+    choice = (
+        jax.random.uniform(jax.random.fold_in(key, 2), (N,)) < 0.5
+    ).astype(jnp.float32)
+    x = jnp.stack([rt, choice], -1)
+    cfg = RUN_CONFIG_PARAMS.replace(
+        TRAIN_BATCH_SIZE=500, TRAIN_MAX_EPOCHS=2, TRAIN_STOP_AFTER_EPOCHS=2,
+        MNLE_HIDDEN_FEATURES=16, MNLE_NUM_TRANSFORMS=2, MNLE_NUM_BINS=5,
+        MNLE_TAIL_SHARP_K=1.5,  # MNLE_TAIL_SHARP_C stays None (auto)
+    )
+    est = train_mnle(cfg, None, z, x, verbose=False)
+    c = est.cfg.tail_sharp_c
+    assert c is not None and np.isfinite(c)
+    # c sits below the standardized training t's 0.1% quantile.
+    t_std = (jnp.log(rt) - est.x_mean) / est.x_std
+    assert c <= float(np.quantile(np.asarray(t_std), 1e-3))
+    # and the trained estimator round-trips through save/load with it.
+    monkeypatch.setenv("MODEL_DIR", str(tmp_path))
+    save_model(est, cfg, filename="sharp.npz")
+    est2 = load_model("sharp.npz")
+    assert est2.cfg.tail_sharp_k == est.cfg.tail_sharp_k
+    assert est2.cfg.tail_sharp_c == est.cfg.tail_sharp_c
+
+
 def test_sample_roundtrip(untrained):
     est = untrained
     cond = jnp.zeros((512, 4))
@@ -687,6 +721,122 @@ def test_shifted_log_samples_respect_onset():
     s = est.sample(jax.random.key(33), cond)
     rt, choice = np.asarray(s[..., 0]), np.asarray(s[..., 1])
     assert (rt[choice != 2] > 0.47).all()
+
+
+# ---------------------------------------------------------------------------
+# Left-tail sharpening (MNLEConfig.tail_sharp_k: doubly-exponential
+# near-onset decay — the round-4 tau-bias fix)
+# ---------------------------------------------------------------------------
+def _sharp_est(key=41, **kw):
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, tail_sharp_k=1.5, tail_sharp_c=-3.5, **SMALL, **kw,
+    )
+    return build_mnle(jax.random.key(key), cfg), cfg
+
+
+def test_tail_sharp_normalizes():
+    """The sharpening pre-transform is a diffeomorphism with an exact
+    log-det, so the density must still integrate to 1 - P(censored)."""
+    est, cfg = _sharp_est()
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.key(42), (4,)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses])
+    dts = jnp.exp(jnp.linspace(jnp.log(1e-5), jnp.log(200.0), 8000))
+    total = 0.0
+    for c in (0, 1):
+        rts = float(theta[4]) + dts
+        x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 9)))
+        total += jnp.trapezoid(jnp.exp(lp), rts)
+    logits = est._net.apply(
+        {"params": est.params},
+        est._net.apply({"params": est.params},
+                       (cond - est.cond_mean) / est.cond_std, cond,
+                       method=est._net.make_context),
+        method=est._net.choice_logits,
+    )
+    p_cens = float(jnp.exp(logits[2]))
+    assert abs(float(total) + p_cens - 1.0) < 0.02, (
+        f"sum over non-censored = {float(total)}, P(cens) = {p_cens}"
+    )
+
+
+def test_tail_sharp_inverse_roundtrip():
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import (
+        tail_sharp_inverse,
+        tail_sharp_transform,
+    )
+
+    _, cfg = _sharp_est()
+    t = jnp.linspace(-8.0, 5.0, 301)
+    y, ld = tail_sharp_transform(cfg, t)
+    assert np.all(np.diff(np.asarray(y)) > 0)  # strictly increasing
+    assert np.isfinite(np.asarray(ld)).all()
+    t_back = tail_sharp_inverse(cfg, y)
+    np.testing.assert_allclose(np.asarray(t_back), np.asarray(t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tail_sharp_suppresses_near_onset_density():
+    """Same network weights with/without sharpening: the density just above
+    onset (tiny decision time, below the c threshold in standardized units)
+    must drop by orders of magnitude, while the data bulk is barely
+    affected — the structural left-tail prior the spline cannot undo."""
+    est_s, cfg_s = _sharp_est()
+    cfg0 = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, **SMALL,
+    )
+    est0 = est_s.__class__(
+        cfg=cfg0, params=est_s.params, cond_mean=est_s.cond_mean,
+        cond_std=est_s.cond_std, x_mean=est_s.x_mean, x_std=est_s.x_std,
+        train_meta=None,
+    )
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.3], jnp.float32)
+    cond = jnp.concatenate([theta, jnp.ones((4,), jnp.float32)])[None]
+    # standardized t = log(dt) (x_mean=0, x_std=1 defaults): dt = e^-6 puts
+    # t = -6 well below c = -3.5; dt = 1 puts t = 0 in the bulk.
+    near = jnp.array([[0.3 + float(np.exp(-6.0)), 0.0]])
+    bulk = jnp.array([[1.3, 0.0]])
+    drop = float(est0.log_prob(near, cond)[0] - est_s.log_prob(near, cond)[0])
+    bulk_shift = abs(
+        float(est0.log_prob(bulk, cond)[0] - est_s.log_prob(bulk, cond)[0])
+    )
+    assert drop > 5.0, f"near-onset suppression only {drop} log-units"
+    assert bulk_shift < 0.5, f"bulk density moved by {bulk_shift} log-units"
+
+
+def test_tail_sharp_fused_parity():
+    """The sharpening rides outside the Pallas kernel; fused value and
+    gradient must match the XLA path with k > 0."""
+    from sbi_for_diffusion_models_tpu.ops.mnle_pallas import (
+        make_fused_logprob,
+    )
+
+    est, cfg = _sharp_est()
+    fused = make_fused_logprob(est, interpret=True)
+    k1, k2, k3 = jax.random.split(jax.random.key(43), 3)
+    t_nd = 0.3
+    rt = t_nd + jnp.exp(jax.random.normal(k1, (19,)) * 2.0 - 1.0)
+    choice = jax.random.randint(k2, (19,), 0, 3).astype(jnp.float32)
+    x = jnp.stack([rt, choice], -1)
+    cond = jnp.abs(jax.random.normal(k3, (19, 9))) + 0.1
+    cond = cond.at[:, 4].set(t_nd)
+    np.testing.assert_allclose(
+        np.asarray(fused(x, cond)),
+        np.asarray(est.log_prob_fn(est.params, x, cond)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g_ref = jax.grad(
+        lambda c: jnp.sum(est.log_prob_fn(est.params, x, c))
+    )(cond)
+    g_fused = jax.grad(lambda c: jnp.sum(fused(x, c)))(cond)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_shifted_log_requires_censoring():
