@@ -8,9 +8,13 @@
 #           reference artifact) is faithful to the simulator.
 #   prof  — mnle_kernel_profile.py (VERDICT #9): MXU/VPU split of the fused
 #           MNLE kernel (rows/s vs transforms and vs hidden width).
-#   hier4 — 8-subject x 40-trial hierarchical coverage (VERDICT #4): the
-#           discriminating estimator-bias power test, now on the fused
-#           hierarchical potential (commit 2958d93).
+#   tausl — CONDITIONAL on the flagship still failing tau: likelihood-profile
+#           sweep along tau (likelihood_slope.py --dims 4) for the sharp and
+#           unsharp 10M models — the direct argmax-offset measurement of the
+#           estimator-level tau bias (same instrument that quantified v/B in
+#           round 3, never yet pointed at the failing dimension).
+# hier4 (8-subject coverage, 40 min) cannot fit in this round's window and
+# is staged in benchmarks/run_r5_queue.sh instead.
 set -u
 cd /root/repo
 export MODEL_DIR="${MODEL_DIR:-/root/repo/artifacts/models}"
@@ -26,34 +30,55 @@ if [ -n "$FLAG_PID" ]; then
 fi
 echo "$(stamp) flagship done — follow-up queue starts ($(remaining)s left)"
 
-if have 1500; then
+if have 1200; then
   echo "$(stamp) [gold] golden parity + posterior-predictive check"
-  timeout 1800 python benchmarks/golden_parity.py \
+  timeout 1500 python benchmarks/golden_parity.py \
     > /tmp/q_gold.log 2>&1
   echo "$(stamp) [gold] exit=$?"
 else
   echo "$(stamp) [gold] SKIPPED (deadline)"
 fi
 
-if have 700; then
+if have 600; then
   echo "$(stamp) [prof] fused MNLE kernel MXU/VPU profile"
-  timeout 900 python benchmarks/mnle_kernel_profile.py --quick \
+  timeout 700 python benchmarks/mnle_kernel_profile.py --quick \
     > /tmp/q_prof.log 2>&1
   echo "$(stamp) [prof] exit=$?"
 else
   echo "$(stamp) [prof] SKIPPED (deadline)"
 fi
 
-if have 2400; then
-  echo "$(stamp) [hier4] 8 subjects x 40 trials coverage (mu power test)"
-  timeout 2400 python benchmarks/hierarchical_coverage.py \
-    --reps 2 --seed 21 --subjects 8 --trials 40 --max-depth 7 \
-    --pt-replicas 6 --pt-beta-min 0.04 --batch-reps \
-    --model mnle_1m_censor.npz \
-    --out artifacts/hierarchical_coverage_pt_s8.json \
-    > /tmp/q_hier4.log 2>&1
-  echo "$(stamp) [hier4] exit=$?"
+TAU_FAILED=$(python - <<'EOF'
+import json
+try:
+    s = json.load(open("artifacts/calibration_sharp10m_slice_96/summary.json"))
+    ks = s["ks_pvalues"]; chi = s["chi2_pvalues"]
+    print(1 if (ks[4] < 0.01 or chi[4] < 0.01) else 0)
+except Exception:
+    print(1)  # no summary -> assume the question is still open
+EOF
+)
+if [ "$TAU_FAILED" = "1" ] && have 500; then
+  echo "$(stamp) [tausl] tau likelihood-profile sweep (sharp vs unsharp)"
+  timeout 800 python benchmarks/likelihood_slope.py \
+    --models mnle_10m_shifted_logt_sharp.npz mnle_10m_shifted_logt.npz \
+    --dims 4 --datasets 4 --points 11 --reps 1024 \
+    --out artifacts/likelihood_slope_tau.json \
+    > /tmp/q_tausl.log 2>&1
+  echo "$(stamp) [tausl] exit=$?"
 else
-  echo "$(stamp) [hier4] SKIPPED (deadline)"
+  echo "$(stamp) [tausl] SKIPPED (tau_failed=$TAU_FAILED, $(remaining)s left)"
+fi
+
+# thrfl — flagship-shape ESS/s rows (VERDICT #8): resume log carries the 12
+# round-3 rows, so only the two new flagship-c4x6pt rows are measured.
+if have 800; then
+  echo "$(stamp) [thrfl] flagship-shape throughput rows"
+  timeout 1000 python benchmarks/mcmc_throughput.py \
+    --resume-log artifacts/mcmc_throughput_r3_rows.jsonl \
+    > /tmp/q_thrfl.log 2>&1
+  echo "$(stamp) [thrfl] exit=$?"
+else
+  echo "$(stamp) [thrfl] SKIPPED (deadline)"
 fi
 echo "$(stamp) follow-up queue done ($(remaining)s to deadline)"
