@@ -83,6 +83,10 @@ def main():
     p.add_argument("--tail-sharp-c", type=float, default=None,
                    help="sharpening onset c in standardized flow units "
                         "(MNLE_TAIL_SHARP_C, default -3.5)")
+    p.add_argument("--cond-affine", action="store_true",
+                   help="conditional location-scale layer before the spline "
+                        "chain (MNLE_COND_AFFINE; the round-4 fix for "
+                        "over-smoothed near-deterministic conditions)")
     p.add_argument(
         "--reuse-model",
         action="store_true",
@@ -171,6 +175,8 @@ def main():
         cfg = cfg.replace(MNLE_TAIL_SHARP_K=args.tail_sharp_k)
     if args.tail_sharp_c is not None:
         cfg = cfg.replace(MNLE_TAIL_SHARP_C=args.tail_sharp_c)
+    if args.cond_affine:
+        cfg = cfg.replace(MNLE_COND_AFFINE=True)
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
     proposal = ExtendedProposal(prior, PulseSequenceProposal(P, cfg.P_SUCCESS))

@@ -30,24 +30,6 @@ if [ -n "$FLAG_PID" ]; then
 fi
 echo "$(stamp) flagship done — follow-up queue starts ($(remaining)s left)"
 
-if have 1200; then
-  echo "$(stamp) [gold] golden parity + posterior-predictive check"
-  timeout 1500 python benchmarks/golden_parity.py \
-    > /tmp/q_gold.log 2>&1
-  echo "$(stamp) [gold] exit=$?"
-else
-  echo "$(stamp) [gold] SKIPPED (deadline)"
-fi
-
-if have 600; then
-  echo "$(stamp) [prof] fused MNLE kernel MXU/VPU profile"
-  timeout 700 python benchmarks/mnle_kernel_profile.py --quick \
-    > /tmp/q_prof.log 2>&1
-  echo "$(stamp) [prof] exit=$?"
-else
-  echo "$(stamp) [prof] SKIPPED (deadline)"
-fi
-
 TAU_FAILED=$(python - <<'EOF'
 import json
 try:
@@ -68,6 +50,24 @@ if [ "$TAU_FAILED" = "1" ] && have 500; then
   echo "$(stamp) [tausl] exit=$?"
 else
   echo "$(stamp) [tausl] SKIPPED (tau_failed=$TAU_FAILED, $(remaining)s left)"
+fi
+
+if have 600; then
+  echo "$(stamp) [prof] fused MNLE kernel MXU/VPU profile"
+  timeout 700 python benchmarks/mnle_kernel_profile.py --quick \
+    > /tmp/q_prof.log 2>&1
+  echo "$(stamp) [prof] exit=$?"
+else
+  echo "$(stamp) [prof] SKIPPED (deadline)"
+fi
+
+if have 1200; then
+  echo "$(stamp) [gold] golden parity + posterior-predictive check"
+  timeout 1500 python benchmarks/golden_parity.py \
+    > /tmp/q_gold.log 2>&1
+  echo "$(stamp) [gold] exit=$?"
+else
+  echo "$(stamp) [gold] SKIPPED (deadline)"
 fi
 
 # thrfl — flagship-shape ESS/s rows (VERDICT #8): resume log carries the 12

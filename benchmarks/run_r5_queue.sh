@@ -1,21 +1,27 @@
 #!/bin/bash
 # Round-5 TPU experiment queue, staged at the end of round 4. ONE TPU
 # process at a time (CLAUDE.md). Stages skip themselves if their artifact
-# already exists (so a round-4 followup that did run is not repeated).
+# already exists.
 #
-# Context (round-4 findings, see BENCH_NOTES "Round 4"):
-#   - The flagship sharp-10M SBC (artifacts/calibration_sharp10m_slice_96)
-#     is the first run with PT6 + tau-slice + mixing gate on a shifted-log
-#     model; its summary decides the branches below.
-#   - onset_density_check_sharp.json: the remaining left-tail excess is
-#     PER-CONDITION BULK misfit (e.g. 5.4% model mass in a dt bin where the
-#     simulator has 0.1%), NOT below-data-edge mass (zero for both models).
-#     A global fixed pre-transform cannot fix it; candidate round-5 levers
-#     are (a) deep ensemble (averages independent member misfits), (b) more
-#     conditional capacity (transforms/bins), (c) a conditional tail-weighted
-#     objective. (a) is built and cheapest to test.
-#   hier4 — 8 subjects x 40 trials coverage (round-3 VERDICT #4), squeezed
-#     out of round 4's window; depth-7 envelope per the worker-crash finding.
+# Round-4 state this queue starts from (see BENCH_NOTES "Round 4"):
+#   - The round-4 flagship ran the tail-sharp variant of the retry stack
+#     (10M shifted_log + logt + tail_sharp_k=1.5, PT6 + tau-slice). At 36/96
+#     datasets the tau rank bias FLIPPED SIGN: ranks mean 426/600 (biased
+#     HIGH; KS p ~ 9e-5) vs round-3's 146.8/600 (biased LOW) — a0/lam/v/B
+#     all uniform (KS p 0.11-0.54) with rhat mostly ~1.0x. Partials +
+#     NUTS checkpoints: artifacts/calibration_sharp10m_slice_96/.
+#   - Attribution is NOT settled: the flip could be (a) tail-sharp
+#     overcorrection (trained-around suppression reshaping the left bulk),
+#     (b) the tau-slice kernel, or (c) the shifted rep itself under good
+#     mixing — the sharp run changed two things vs round 3 at once.
+#   - onset_density_check_sharp12.json: the underlying misfit is
+#     OVER-SMOOTHED conditional densities for near-deterministic conditions
+#     (not edge mass). The shipped MNLE_COND_AFFINE layer (conditional
+#     location-scale before the splines, fused-kernel parity-tested) is the
+#     structural fix candidate.
+# Decision tree below: tausl attributes estimator-vs-sampler cheaply, then
+# flag4u (the round-3 VERDICT's ORIGINAL experiment, unsharp) separates
+# sharp from slice, then the cond-affine flagship is the fix candidate run.
 set -u
 cd /root/repo
 export MODEL_DIR="${MODEL_DIR:-/root/repo/artifacts/models}"
@@ -32,20 +38,77 @@ until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
 done
 echo "$(stamp) TPU BACK — starting queue ($(remaining)s to deadline)"
 
-TAU_FAILED=$(python - <<'EOF'
-import json
-try:
-    s = json.load(open("artifacts/calibration_sharp10m_slice_96/summary.json"))
-    print(1 if (s["ks_pvalues"][4] < 0.01 or s["chi2_pvalues"][4] < 0.01) else 0)
-except Exception:
-    print(1)
-EOF
-)
+# tausl — likelihood-profile sweep along tau for the sharp and unsharp 10M
+# models vs simulator ground truth: a HIGH argmax offset for the sharp model
+# (and not the unsharp) pins the rank flip on tail-sharp; no offset for
+# either pins it on the sampler stack.
+if [ ! -f artifacts/likelihood_slope_tau.json ] && have 1200; then
+  echo "$(stamp) [tausl] tau likelihood-profile sweep"
+  timeout 1200 python benchmarks/likelihood_slope.py \
+    --models mnle_10m_shifted_logt_sharp.npz mnle_10m_shifted_logt.npz \
+    --dims 4 --datasets 4 --points 11 --reps 1024 \
+    --out artifacts/likelihood_slope_tau.json \
+    > /tmp/q_tausl.log 2>&1
+  echo "$(stamp) [tausl] exit=$?"
+else
+  echo "$(stamp) [tausl] SKIPPED (done/deadline)"
+fi
 
-# ens5 — deep-ensemble flagship (round-3 VERDICT #3): train K=3 members at
-# 4M sims each (the 4M-vs-10M single-model gap was small in round 2; 3x4M
-# trains in ~3x8min) and run the 96x600 SBC with the mixture likelihood.
-if [ "$TAU_FAILED" = "1" ] && [ ! -f artifacts/calibration_ens3_96/summary.json ] && have 10800; then
+# flag4u — the round-3 VERDICT #1 experiment EXACTLY as staged (unsharp
+# shifted-log 10M + PT6 + tau-slice, 96x600, mixing gate + remediation):
+# tau biased LOW here reproduces round 3's estimator fingerprint (sharp
+# overcorrected -> interpolate k); tau biased HIGH implicates the slice/
+# shifted-rep path independent of sharpening.
+if [ ! -f artifacts/calibration_shifted10m_slice_96/summary.json ] && have 9000; then
+  echo "$(stamp) [flag4u] unsharp shifted 10M SBC with PT6 + tau-slice"
+  timeout 9000 python benchmarks/calibration_run.py \
+    --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+    --log-theta --tau-slice --reuse-model --model mnle_10m_shifted_logt.npz \
+    --outdir artifacts/calibration_shifted10m_slice_96 \
+    > /tmp/q_flag4u.log 2>&1
+  echo "$(stamp) [flag4u] exit=$?"
+else
+  echo "$(stamp) [flag4u] SKIPPED (done/deadline)"
+fi
+
+# affine5 — the structural-fix candidate: 10M shifted-log + log-theta +
+# COND-AFFINE (no tail-sharp), PT6 + tau-slice, 96x600. Run after flag4u so
+# its result has a same-sampler unsharp baseline to difference against.
+if [ ! -f artifacts/calibration_affine10m_slice_96/summary.json ] && have 10800; then
+  echo "$(stamp) [affine5] cond-affine 10M SBC with PT6 + tau-slice"
+  timeout 10800 python benchmarks/calibration_run.py \
+    --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+    --log-theta --tau-slice --cond-affine \
+    --model mnle_10m_shifted_logt_affine.npz \
+    --outdir artifacts/calibration_affine10m_slice_96 \
+    > /tmp/q_affine5.log 2>&1
+  echo "$(stamp) [affine5] exit=$?"
+else
+  echo "$(stamp) [affine5] SKIPPED (done/deadline)"
+fi
+
+# resume5 — complete the round-4 sharp flagship artifact from its NUTS
+# checkpoints (9/24 groups done): cheap completion of the 96-dataset
+# evidence for the sharp arm once the primary experiments are in.
+if [ ! -f artifacts/calibration_sharp10m_slice_96/summary.json ] && have 7200; then
+  echo "$(stamp) [resume5] resume sharp flagship from checkpoints"
+  timeout 7200 python benchmarks/calibration_run.py \
+    --sims 10000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
+    --pt-replicas 6 --pt-beta-min 0.04 --censor-rt --rt-rep shifted_log \
+    --log-theta --tau-slice --tail-sharp-k 1.5 --reuse-model \
+    --model mnle_10m_shifted_logt_sharp.npz \
+    --outdir artifacts/calibration_sharp10m_slice_96 \
+    > /tmp/q_resume5.log 2>&1
+  echo "$(stamp) [resume5] exit=$?"
+else
+  echo "$(stamp) [resume5] SKIPPED (done/deadline)"
+fi
+
+# ens5 — deep-ensemble arm (round-3 VERDICT #3): K=3 members at 4M sims
+# each with the best estimator config known at run time, mixture SBC.
+if [ ! -f artifacts/calibration_ens3_96/summary.json ] && have 10800; then
   echo "$(stamp) [ens5] K=3 ensemble SBC 96x600 (PT6 + tau-slice)"
   timeout 10800 python benchmarks/calibration_run.py \
     --sims 4000000 --datasets 96 --post-samples 600 --chains 4 --warmup 200 \
@@ -55,7 +118,7 @@ if [ "$TAU_FAILED" = "1" ] && [ ! -f artifacts/calibration_ens3_96/summary.json 
     > /tmp/q_ens5.log 2>&1
   echo "$(stamp) [ens5] exit=$?"
 else
-  echo "$(stamp) [ens5] SKIPPED (tau_failed=$TAU_FAILED or done/deadline)"
+  echo "$(stamp) [ens5] SKIPPED (done/deadline)"
 fi
 
 if [ ! -f artifacts/hierarchical_coverage_pt_s8.json ] && have 2700; then
@@ -71,7 +134,7 @@ else
   echo "$(stamp) [hier4] SKIPPED (done/deadline)"
 fi
 
-if [ ! -f artifacts/golden_parity.json ] || ! grep -q posterior_predictive artifacts/golden_parity.json; then
+if ! grep -q posterior_predictive artifacts/golden_parity.json 2>/dev/null; then
   if have 1800; then
     echo "$(stamp) [gold] golden parity + posterior-predictive check"
     timeout 1800 python benchmarks/golden_parity.py > /tmp/q_gold.log 2>&1
@@ -90,20 +153,8 @@ else
   echo "$(stamp) [prof] SKIPPED (done/deadline)"
 fi
 
-if [ "$TAU_FAILED" = "1" ] && [ ! -f artifacts/likelihood_slope_tau.json ] && have 900; then
-  echo "$(stamp) [tausl] tau likelihood-profile sweep"
-  timeout 900 python benchmarks/likelihood_slope.py \
-    --models mnle_10m_shifted_logt_sharp.npz mnle_10m_shifted_logt.npz \
-    --dims 4 --datasets 4 --points 11 --reps 1024 \
-    --out artifacts/likelihood_slope_tau.json \
-    > /tmp/q_tausl.log 2>&1
-  echo "$(stamp) [tausl] exit=$?"
-else
-  echo "$(stamp) [tausl] SKIPPED (tau_failed=$TAU_FAILED or done/deadline)"
-fi
-
-# thrfl — flagship-shape ESS/s rows (VERDICT #8 reconciliation), code shipped
-# round 4 (mcmc_throughput.py flagship-c4x6pt rows) but never yet run.
+# thrfl — flagship-shape ESS/s rows (VERDICT #8): resume log carries the 12
+# round-3 rows, so only the two new flagship-c4x6pt rows are measured.
 if have 1500; then
   echo "$(stamp) [thrfl] flagship-shape throughput rows"
   timeout 1500 python benchmarks/mcmc_throughput.py \

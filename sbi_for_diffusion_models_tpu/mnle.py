@@ -162,6 +162,7 @@ def train_mnle(
         log_condition_dims=cfg.MNLE_LOG_THETA_DIMS,
         tail_sharp_k=cfg.MNLE_TAIL_SHARP_K,
         tail_sharp_c=cfg.MNLE_TAIL_SHARP_C,
+        cond_affine=cfg.MNLE_COND_AFFINE,
     )
     if any(d >= z.shape[1] for d in mcfg.log_condition_dims):
         raise ValueError(

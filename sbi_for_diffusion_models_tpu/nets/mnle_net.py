@@ -151,6 +151,23 @@ class MNLEConfig:
     # below the training data's left edge in standardized units before the
     # network is built); a built estimator always carries a concrete float.
     tail_sharp_c: float | None = -3.5
+    # Conditional location-scale layer (rt_rep "log"/"shifted_log"): a
+    # trunk-predicted affine z = (t - mu(c, choice)) * exp(-ls(c, choice))
+    # applied BEFORE the spline chain (normalizing direction), exact
+    # log-det = -ls. Motivation (round-4, onset_density_check_sharp12):
+    # for conditions whose simulator decision-time distribution is nearly
+    # deterministic (97-99.9% of mass inside one 0.25 s bin), the learned
+    # conditional density is over-smoothed in BOTH directions — the spline
+    # chain alone must synthesize extreme derivatives from the globally
+    # z-scored coordinate to sharpen, and MLE undersharpens. With the
+    # hard one-sided support constraint (tau < min_i rt_i) the symmetric
+    # over-smoothing becomes the measured one-sided tau rank bias. The
+    # affine factorizes per-condition location/scale out of the splines
+    # (the standard NSF affine+spline interleaving, cf. sbi's default
+    # density estimators, reference mnle.py:31-39), so each condition is
+    # modeled at unit scale and sharpening costs one easy -ls log-det
+    # term. False = off (default; saved models load unchanged).
+    cond_affine: bool = False
     # Grid anchor for rt_rep="pulse".
     #
     # "tnd": slots anchored at the trial's own t_nd — the atom sits at a
@@ -388,6 +405,14 @@ class MNLENet(nn.Module):
             nn.Dense(head_params, name=f"spline_head_{i}", precision=_PRECISION)
             for i in range(cfg.num_transforms)
         ]
+        if cfg.cond_affine and cfg.rt_rep != "pulse":
+            # (mu, log_sigma) of the conditional location-scale layer
+            # (MNLEConfig.cond_affine). Zero-init keeps it the identity at
+            # init (flax Dense bias starts at 0; kernel at lecun_normal is
+            # fine — clip in _flow_params bounds log_sigma either way).
+            self.affine_head = nn.Dense(
+                2, name="affine_head", precision=_PRECISION
+            )
         if cfg.embed_dim > 0 and cfg.pulse_dim > 0:
             self.pulse_embed = _MLP(
                 cfg.hidden_features, cfg.embed_dim, depth=cfg.embed_depth
@@ -431,18 +456,25 @@ class MNLENet(nn.Module):
         emb = self._trunk_emb(c, choice_onehot)
         return jax.nn.log_softmax(self.pulse_slot_head(emb), axis=-1)
 
-    def _spline_params(self, c, choice_onehot, k_feat=None):
+    def _flow_params(self, c, choice_onehot, k_feat=None):
         emb = self._trunk_emb(c, choice_onehot)
         if k_feat is not None:
             # Pulse rep: the phase flow is conditioned on the slot index
             # (normalized scalar) — phase shape drifts with slot (later slots
             # are closer to leak equilibrium, broader phases).
             emb = jnp.concatenate([emb, k_feat], axis=-1)
-        return [head(emb) for head in self.flow_heads]
+        params = [head(emb) for head in self.flow_heads]
+        affine = None
+        if self.cfg.cond_affine and self.cfg.rt_rep != "pulse":
+            a = self.affine_head(emb)
+            # log_sigma clipped so an extreme conditioner output cannot
+            # produce inf/zero scales under MCMC's off-support probes.
+            affine = (a[..., 0], jnp.clip(a[..., 1], -7.0, 7.0))
+        return params, affine
 
     def flow_log_prob(self, u, c, choice_onehot, k_feat=None):
         """log p(u | c, choice) for scalar u (shape (...,))."""
-        params = self._spline_params(c, choice_onehot, k_feat)
+        params, affine = self._flow_params(c, choice_onehot, k_feat)
         log_det = jnp.zeros_like(u)
         z = u
         if self.cfg.rt_rep == "pulse" and self.cfg.grid_anchor == "absolute":
@@ -452,6 +484,10 @@ class MNLENet(nn.Module):
                 z, ld = rq_spline_circular(z, p, num_bins=self.cfg.num_bins)
                 log_det = log_det + ld
             return log_det  # log uniform(z) = 0
+        if affine is not None:
+            mu, ls = affine
+            z = (z - mu) * jnp.exp(-ls)
+            log_det = log_det - ls
         for p in params:  # normalizing direction: data -> base
             z, ld = rq_spline_forward(
                 z, p, num_bins=self.cfg.num_bins, tail_bound=self.cfg.tail_bound
@@ -462,7 +498,7 @@ class MNLENet(nn.Module):
 
     def flow_sample(self, key, c, choice_onehot, k_feat=None):
         """Draw u ~ p(u | c, choice); c/choice_onehot shaped (..., d)."""
-        params = self._spline_params(c, choice_onehot, k_feat)
+        params, affine = self._flow_params(c, choice_onehot, k_feat)
         if self.cfg.rt_rep == "pulse" and self.cfg.grid_anchor == "absolute":
             z = jax.random.uniform(key, c.shape[:-1])
             for p in reversed(params):
@@ -475,6 +511,9 @@ class MNLENet(nn.Module):
             z, _ = rq_spline_inverse(
                 z, p, num_bins=self.cfg.num_bins, tail_bound=self.cfg.tail_bound
             )
+        if affine is not None:
+            mu, ls = affine
+            z = z * jnp.exp(ls) + mu
         return z
 
     def __call__(self, u, c_std, c_raw, choice_onehot):

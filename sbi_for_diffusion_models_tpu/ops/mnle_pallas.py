@@ -82,13 +82,21 @@ def pack_mnle_weights(estimator) -> list[jnp.ndarray]:
     if cfg.rt_rep == "pulse":
         d = p["pulse_slot_head"]
         ws += [jnp.asarray(d["kernel"]), jnp.asarray(d["bias"]).reshape(1, -1)]
-    head_W = jnp.concatenate(
-        [jnp.asarray(p[f"spline_head_{i}"]["kernel"]) for i in range(cfg.num_transforms)],
-        axis=1,
-    )
-    head_b = jnp.concatenate(
-        [jnp.asarray(p[f"spline_head_{i}"]["bias"]) for i in range(cfg.num_transforms)]
-    )
+    head_Ws = [
+        jnp.asarray(p[f"spline_head_{i}"]["kernel"])
+        for i in range(cfg.num_transforms)
+    ]
+    head_bs = [
+        jnp.asarray(p[f"spline_head_{i}"]["bias"])
+        for i in range(cfg.num_transforms)
+    ]
+    if cfg.cond_affine and cfg.rt_rep != "pulse":
+        # (mu, log_sigma) columns ride the same head matmul: layout
+        # (in, T*S + 2), sliced off in _rows_logp.
+        head_Ws.append(jnp.asarray(p["affine_head"]["kernel"]))
+        head_bs.append(jnp.asarray(p["affine_head"]["bias"]))
+    head_W = jnp.concatenate(head_Ws, axis=1)
+    head_b = jnp.concatenate(head_bs)
     ws += [head_W, head_b.reshape(1, -1)]
     return ws
 
@@ -115,7 +123,7 @@ def _shared_heads(arrs_oh_ctx, weights, n_layers):
 
 
 def _rows_logp(t, oh, ctx, weights, *, n_layers, num_transforms, num_bins,
-               tail_bound, censored_col=None):
+               tail_bound, censored_col=None, cond_affine=False):
     """Per-row MNLE log p for rt_rep="log" on standardized inputs.
 
     t: (B,), oh: (B, C), ctx: (B, D). Shared by the forward kernel, the
@@ -123,11 +131,18 @@ def _rows_logp(t, oh, ctx, weights, *, n_layers, num_transforms, num_bins,
     """
     cat_lp, emb = _shared_heads((oh, ctx), weights, n_layers)
     head_W, head_b = weights[4 * n_layers], weights[4 * n_layers + 1]
-    sp = _dense(emb, head_W, head_b)  # (B, T * (3K-1))
+    sp = _dense(emb, head_W, head_b)  # (B, T*(3K-1) [+ 2 if cond_affine])
 
     S = num_spline_params(num_bins)
     z = t
     log_det = jnp.zeros_like(t)
+    if cond_affine:
+        # Conditional location-scale before the spline chain — same math
+        # and clipping as MNLENet._flow_params (parity-tested).
+        mu = sp[:, num_transforms * S]
+        ls = jnp.clip(sp[:, num_transforms * S + 1], -7.0, 7.0)
+        z = (z - mu) * jnp.exp(-ls)
+        log_det = log_det - ls
     for i in range(num_transforms):
         z, ld = rq_spline_forward(
             z,
@@ -238,6 +253,7 @@ def make_fused_logprob(
             num_bins=cfg.num_bins,
             tail_bound=cfg.tail_bound,
             censored_col=cfg.censored_category if cfg.censor_rt else None,
+            cond_affine=cfg.cond_affine,
         )
 
         def rows_fn(arrs, ws):

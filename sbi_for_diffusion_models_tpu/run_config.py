@@ -120,6 +120,12 @@ class RunConfig:
     # standardized flow units (q0.001 - 0.25), so observed decision times
     # are untouched and only the below-support region is suppressed.
     MNLE_TAIL_SHARP_C: Optional[float] = None
+    # Conditional location-scale layer before the spline chain (round-4):
+    # lets near-deterministic conditional decision-time densities sharpen
+    # via one -log_sigma term instead of extreme spline derivatives — the
+    # measured over-smoothing mechanism behind the residual one-sided tau
+    # SBC bias (nets/mnle_net.MNLEConfig.cond_affine).
+    MNLE_COND_AFFINE: bool = False
 
     # MNLE training loop.
     TRAIN_LEARNING_RATE: float = 5e-4

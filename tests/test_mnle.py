@@ -881,3 +881,141 @@ def test_shifted_log_train_recovers_onset():
     cond_hi = cond_true.at[:, 4].set(0.5 + 0.15)  # onset above some rts
     lp_hi = float(est.log_prob(x_o, cond_hi).sum())
     assert lp_true > lp_hi + 100.0, (lp_true, lp_hi)
+
+
+# ---------------------------------------------------------------------------
+# Conditional location-scale layer (MNLEConfig.cond_affine: the round-4 fix
+# for over-smoothed near-deterministic conditional decision-time densities)
+# ---------------------------------------------------------------------------
+def _affine_est(key=47, **kw):
+    cfg = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, cond_affine=True, **SMALL, **kw,
+    )
+    return build_mnle(jax.random.key(key), cfg), cfg
+
+
+def _with_fixed_affine(est, mu=0.7, ls=0.4):
+    """Copy of ``est`` whose affine head outputs exactly (mu, ls)."""
+    p = dict(est.params)
+    p["affine_head"] = {
+        "kernel": jnp.zeros_like(jnp.asarray(est.params["affine_head"]["kernel"])),
+        "bias": jnp.array([mu, ls], jnp.float32),
+    }
+    return est.__class__(
+        cfg=est.cfg, params=p, cond_mean=est.cond_mean, cond_std=est.cond_std,
+        x_mean=est.x_mean, x_std=est.x_std, train_meta=None,
+    )
+
+
+def test_cond_affine_exact_identity():
+    """With the affine head pinned to constants (mu, ls), the flow density
+    must equal the affine-free flow (same spline weights) evaluated at the
+    affinely pulled-back coordinate, minus ls — the exact change of
+    variables. Sampling must be the inverse map on the same base draw."""
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import MNLENet
+
+    mu, ls = 0.7, 0.4
+    est_a, cfg_a = _affine_est()
+    est_a = _with_fixed_affine(est_a, mu, ls)
+    cfg0 = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, **SMALL,
+    )
+    net_a, net_0 = MNLENet(cfg_a), MNLENet(cfg0)
+
+    B = 33
+    u = jnp.linspace(-3.0, 3.0, B)
+    c = jnp.abs(jax.random.normal(jax.random.key(48), (B, 9))) + 0.1
+    oh = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), 3)
+    lp_a = net_a.apply({"params": est_a.params}, u, c, oh,
+                       method=MNLENet.flow_log_prob)
+    lp_0 = net_0.apply({"params": est_a.params},
+                       (u - mu) * jnp.exp(-ls), c, oh,
+                       method=MNLENet.flow_log_prob)
+    np.testing.assert_allclose(
+        np.asarray(lp_a), np.asarray(lp_0) - ls, rtol=1e-5, atol=1e-5
+    )
+    key = jax.random.key(49)
+    s_a = net_a.apply({"params": est_a.params}, key, c, oh,
+                      method=MNLENet.flow_sample)
+    s_0 = net_0.apply({"params": est_a.params}, key, c, oh,
+                      method=MNLENet.flow_sample)
+    np.testing.assert_allclose(
+        np.asarray(s_a), np.asarray(s_0) * np.exp(ls) + mu,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_cond_affine_normalizes():
+    """Exact -ls log-det: the full density must still integrate to
+    1 - P(censored)."""
+    est, cfg = _affine_est()
+    theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
+    pulses = jnp.where(
+        jax.random.uniform(jax.random.key(50), (4,)) < 0.5, 1.0, -1.0
+    )
+    cond = jnp.concatenate([theta, pulses])
+    dts = jnp.exp(jnp.linspace(jnp.log(1e-5), jnp.log(200.0), 8000))
+    total = 0.0
+    for c in (0, 1):
+        rts = float(theta[4]) + dts
+        x = jnp.stack([rts, jnp.full_like(rts, c)], -1)
+        lp = jax.jit(est.log_prob)(x, jnp.broadcast_to(cond, (rts.shape[0], 9)))
+        total += jnp.trapezoid(jnp.exp(lp), rts)
+    logits = est._net.apply(
+        {"params": est.params},
+        est._net.apply({"params": est.params},
+                       (cond - est.cond_mean) / est.cond_std, cond,
+                       method=est._net.make_context),
+        method=est._net.choice_logits,
+    )
+    p_cens = float(jnp.exp(logits[2]))
+    assert abs(float(total) + p_cens - 1.0) < 0.02, (
+        f"sum over non-censored = {float(total)}, P(cens) = {p_cens}"
+    )
+
+
+def test_cond_affine_fused_parity():
+    """The affine's (mu, log_sigma) columns ride the fused kernel's head
+    matmul; fused value and gradient must match the XLA path."""
+    from sbi_for_diffusion_models_tpu.ops.mnle_pallas import (
+        make_fused_logprob,
+    )
+
+    est, cfg = _affine_est()
+    fused = make_fused_logprob(est, interpret=True)
+    k1, k2, k3 = jax.random.split(jax.random.key(51), 3)
+    t_nd = 0.3
+    rt = t_nd + jnp.exp(jax.random.normal(k1, (19,)) * 2.0 - 1.0)
+    choice = jax.random.randint(k2, (19,), 0, 3).astype(jnp.float32)
+    x = jnp.stack([rt, choice], -1)
+    cond = jnp.abs(jax.random.normal(k3, (19, 9))) + 0.1
+    cond = cond.at[:, 4].set(t_nd)
+    np.testing.assert_allclose(
+        np.asarray(fused(x, cond)),
+        np.asarray(est.log_prob_fn(est.params, x, cond)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g_ref = jax.grad(
+        lambda c: jnp.sum(est.log_prob_fn(est.params, x, c))
+    )(cond)
+    g_fused = jax.grad(lambda c: jnp.sum(fused(x, c)))(cond)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cond_affine_save_load_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("MODEL_DIR", str(tmp_path))
+    est, cfg = _affine_est()
+    save_model(est, RUN_CONFIG_PARAMS, filename="affine.npz")
+    est2 = load_model("affine.npz")
+    assert est2.cfg.cond_affine is True
+    x = jnp.array([[0.9, 1.0], [2.0, 0.0], [8.0, 2.0]])
+    c = jnp.abs(jax.random.normal(jax.random.key(52), (3, 9))) + 0.1
+    c = c.at[:, 4].set(0.3)
+    np.testing.assert_allclose(
+        np.asarray(est.log_prob(x, c)), np.asarray(est2.log_prob(x, c)),
+        rtol=1e-6,
+    )
