@@ -6,14 +6,16 @@
 # Round-4 state this queue starts from (see BENCH_NOTES "Round 4"):
 #   - The round-4 flagship ran the tail-sharp variant of the retry stack
 #     (10M shifted_log + logt + tail_sharp_k=1.5, PT6 + tau-slice). At 36/96
-#     datasets the tau rank bias FLIPPED SIGN: ranks mean 426/600 (biased
-#     HIGH; KS p ~ 9e-5) vs round-3's 146.8/600 (biased LOW) — a0/lam/v/B
-#     all uniform (KS p 0.11-0.54) with rhat mostly ~1.0x. Partials +
-#     NUTS checkpoints: artifacts/calibration_sharp10m_slice_96/.
-#   - Attribution is NOT settled: the flip could be (a) tail-sharp
-#     overcorrection (trained-around suppression reshaping the left bulk),
-#     (b) the tau-slice kernel, or (c) the shifted rep itself under good
-#     mixing — the sharp run changed two things vs round 3 at once.
+#     datasets the tau rank bias FLIPPED SIGN: ranks mean 426/600 (posterior
+#     now UNDERestimates tau; KS p ~ 9e-5) vs round-3's 146.8/600
+#     (overestimate) — a0/lam/v/B all uniform (KS p 0.11-0.54) with rhat
+#     mostly ~1.0x. Partials + NUTS checkpoints:
+#     artifacts/calibration_sharp10m_slice_96/.
+#   - Attribution SETTLED by likelihood_slope_tau.json (estimator-only
+#     profile sweep): sharp model slope(L_model - L_true) = -78.5/log-unit
+#     along tau (reproduces the flip, sampler not involved); unsharp model
+#     +7.6 (mild, matches round 3's direction). tail_sharp_k=1.5
+#     overcorrects; the tau-slice kernel is exonerated.
 #   - onset_density_check_sharp12.json: the underlying misfit is
 #     OVER-SMOOTHED conditional densities for near-deterministic conditions
 #     (not edge mass). The shipped MNLE_COND_AFFINE layer (conditional
@@ -38,10 +40,8 @@ until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
 done
 echo "$(stamp) TPU BACK — starting queue ($(remaining)s to deadline)"
 
-# tausl — likelihood-profile sweep along tau for the sharp and unsharp 10M
-# models vs simulator ground truth: a HIGH argmax offset for the sharp model
-# (and not the unsharp) pins the rank flip on tail-sharp; no offset for
-# either pins it on the sampler stack.
+# tausl — DONE in round 4 (artifacts/likelihood_slope_tau.json); the gate
+# below keeps it skipped unless the artifact is removed.
 if [ ! -f artifacts/likelihood_slope_tau.json ] && have 1200; then
   echo "$(stamp) [tausl] tau likelihood-profile sweep"
   timeout 1200 python benchmarks/likelihood_slope.py \
@@ -55,10 +55,11 @@ else
 fi
 
 # flag4u — the round-3 VERDICT #1 experiment EXACTLY as staged (unsharp
-# shifted-log 10M + PT6 + tau-slice, 96x600, mixing gate + remediation):
-# tau biased LOW here reproduces round 3's estimator fingerprint (sharp
-# overcorrected -> interpolate k); tau biased HIGH implicates the slice/
-# shifted-rep path independent of sharpening.
+# shifted-log 10M + PT6 + tau-slice, 96x600, mixing gate + remediation).
+# Post-tausl this is the most likely immediate PASS: the unsharp model's
+# tau profile bias is +7.6/log-unit (10x smaller than anything previously
+# measured) and its round-3 failure happened under rhat 1.9e5 mixing that
+# the slice kernel has since fixed. RUN THIS FIRST.
 if [ ! -f artifacts/calibration_shifted10m_slice_96/summary.json ] && have 9000; then
   echo "$(stamp) [flag4u] unsharp shifted 10M SBC with PT6 + tau-slice"
   timeout 9000 python benchmarks/calibration_run.py \
