@@ -169,6 +169,12 @@ def train_mnle(
             f"MNLE_LOG_THETA_DIMS={mcfg.log_condition_dims} outside the "
             f"condition block (condition_dim={z.shape[1]})"
         )
+    if mcfg.cond_affine and mcfg.rt_rep == "pulse":
+        raise ValueError(
+            "MNLE_COND_AFFINE has no effect with MNLE_RT_REP='pulse' (the "
+            "slot/phase factorization has no continuous spline chain to "
+            "precondition); disable one of the two"
+        )
 
     # Standardization stats ("independent" z-scoring, reference mnle.py:34-35)
     # computed on the (optionally log-reparameterized) conditioning view.
@@ -794,7 +800,8 @@ def _run_sbc_batched(
             )
         return (float("nan"), float("nan"))
 
-    def _launch(idx, k_init, k_run, warmup, ladder_arr, ckpt_name):
+    def _launch(idx, k_init, k_run, warmup, ladder_arr, ckpt_name,
+                tau_init=False):
         """One sampler launch over len(idx) datasets x C chains x R replicas.
 
         Shared by the main pass and the mixing-remediation pass (same
@@ -802,11 +809,31 @@ def _run_sbc_batched(
         (Gl, C, per_chain, dim) np.ndarray, per-dataset cold divergence
         counts or None, mean accept, total divergences or None,
         swap acceptance or None).
+
+        ``tau_init=True`` replaces the prior draw of the t_nd column with a
+        min-RT-informed init: t_nd < min(rt) over the session by
+        construction (rt = t_nd + hit_step*dt, reference
+        rt_choice_model.py:218), so hard-onset posteriors concentrate just
+        below min(rt) and prior inits frequently start chains in a far
+        basin the tempered ladder then has to cross. Data-dependent inits
+        do not change the stationary distribution — only where the chains
+        start.
         """
         Gl = int(idx.shape[0])
         x_g = x_d[idx]
         s_g = s_d[idx]
         init_theta = prior_theta.sample(k_init, (Gl * C * R,))
+        if tau_init and init_theta.shape[-1] == 5:
+            rt_col = x_g[..., 0]
+            if cfg.LOG_RT_MANUALLY:
+                rt_col = jnp.exp(rt_col)
+            minrt = jnp.repeat(jnp.min(rt_col, axis=-1), C * R)  # (Gl*C*R,)
+            u01 = jax.random.uniform(
+                jax.random.fold_in(k_init, 1), (Gl * C * R,),
+                minval=0.05, maxval=0.95,
+            )
+            tau0 = jnp.clip(u01 * minrt, 1e-3, 0.98)
+            init_theta = init_theta.at[:, 4].set(tau0)
         init_u = bij.inverse(jnp.asarray(init_theta, jnp.float32))
         data = jax.tree.map(lambda a: jnp.repeat(a, C * R, axis=0), (x_g, s_g))
         if R > 1:
@@ -1005,61 +1032,82 @@ def _run_sbc_batched(
     remediation = None
     flagged0 = _flagged_idx() if gate_active else np.asarray([], dtype=int)
     if cfg.SBC_REMEDIATE and flagged0.size:
-        todo = flagged0[: int(cfg.SBC_REMEDIATE_MAX)]
-        warm2 = 2 * cfg.WARMUP_STEPS
-        beta2 = 0.5 * cfg.MCMC_PT_BETA_MIN if R > 1 else None
-        hot = geometric_ladder(R, beta2) if R > 1 else ladder
-        if verbose:
-            print(
-                f"[run_sbc] mixing gate: {flagged0.size}/{D} datasets flagged "
-                f"(R-hat > {cfg.SBC_RHAT_GATE} or min-ESS < "
-                f"{cfg.SBC_MIN_ESS_GATE}); remediating {todo.size} with "
-                f"warmup {warm2}"
-                + (f", beta_min {beta2}" if beta2 is not None else ""),
-                flush=True,
-            )
-        rhat_before = rhat_np[todo].tolist()
-        for rg in range(_math.ceil(todo.size / G)):
-            sub = todo[rg * G:(rg + 1) * G]
-            idx = jnp.asarray(np.resize(sub, G))  # pad by wrap within sub
-            cold_np, div_cold, acc, div_total, swap = _launch(
-                idx,
-                jax.random.fold_in(key, 7000 + rg),
-                jax.random.fold_in(key, 7100 + rg),
-                warm2,
-                hot,
-                f"remed_{rg}",
-            )
-            for gi, ds in enumerate(sub.tolist()):
-                samples_np[ds] = (
-                    cold_np[gi].swapaxes(0, 1)
-                    .reshape(C * per_chain, -1)[:post_samples]
-                )
-                rhat_np[ds], ess_np[ds] = _mixing_stats(cold_np[gi])
-                if div_cold is not None:
-                    div_np[ds] = float(div_cold[gi])
-            if swap is not None:
-                swap_accepts.append(swap)
+        todo0 = flagged0[: int(cfg.SBC_REMEDIATE_MAX)]
+        rhat_before = rhat_np[todo0].tolist()
+        n_rounds = max(int(cfg.SBC_REMEDIATE_ROUNDS), 1)
+        rounds = []
+        warm1, beta1 = None, None
+        todo = todo0
+        for rnd in range(1, n_rounds + 1):
+            if rnd > 1:
+                # Escalate only the datasets the previous round left dirty.
+                todo = np.intersect1d(_flagged_idx(), todo0)
+                if todo.size == 0:
+                    break
+            warm2 = 2 * rnd * cfg.WARMUP_STEPS
+            beta2 = cfg.MCMC_PT_BETA_MIN / (2.0 ** rnd) if R > 1 else None
+            hot = geometric_ladder(R, beta2) if R > 1 else ladder
+            if rnd == 1:
+                warm1, beta1 = warm2, beta2
             if verbose:
                 print(
-                    f"[run_sbc] remediation group {rg + 1}: datasets "
-                    f"{sub.tolist()} mean_accept={acc:.3f}",
+                    f"[run_sbc] mixing gate round {rnd}: {todo.size}/{D} "
+                    f"datasets flagged (R-hat > {cfg.SBC_RHAT_GATE} or "
+                    f"min-ESS < {cfg.SBC_MIN_ESS_GATE}); remediating with "
+                    f"warmup {warm2}"
+                    + (f", beta_min {beta2}" if beta2 is not None else ""),
                     flush=True,
                 )
+            for rg in range(_math.ceil(todo.size / G)):
+                sub = todo[rg * G:(rg + 1) * G]
+                idx = jnp.asarray(np.resize(sub, G))  # pad by wrap within sub
+                cold_np, div_cold, acc, div_total, swap = _launch(
+                    idx,
+                    jax.random.fold_in(key, 7000 + 131 * rnd + rg),
+                    jax.random.fold_in(key, 7100 + 131 * rnd + rg),
+                    warm2,
+                    hot,
+                    f"remed_{rnd}_{rg}",
+                    tau_init=cfg.SBC_REMEDIATE_TAU_INIT,
+                )
+                for gi, ds in enumerate(sub.tolist()):
+                    samples_np[ds] = (
+                        cold_np[gi].swapaxes(0, 1)
+                        .reshape(C * per_chain, -1)[:post_samples]
+                    )
+                    rhat_np[ds], ess_np[ds] = _mixing_stats(cold_np[gi])
+                    if div_cold is not None:
+                        div_np[ds] = float(div_cold[gi])
+                if swap is not None:
+                    swap_accepts.append(swap)
+                if verbose:
+                    print(
+                        f"[run_sbc] remediation round {rnd} group {rg + 1}: "
+                        f"datasets {sub.tolist()} mean_accept={acc:.3f}",
+                        flush=True,
+                    )
+            rounds.append({
+                "round": rnd,
+                "warmup": int(warm2),
+                "beta_min": beta2,
+                "datasets": [int(v) for v in todo],
+                "rhat_after": [float(v) for v in rhat_np[todo]],
+            })
         still = _flagged_idx()
         remediation = {
             "flagged": [int(v) for v in flagged0],
-            "remediated": [int(v) for v in todo],
-            "warmup": int(warm2),
-            "beta_min": beta2,
+            "remediated": [int(v) for v in todo0],
+            "warmup": int(warm1),
+            "beta_min": beta1,
             "rhat_before": rhat_before,
-            "rhat_after": [float(v) for v in rhat_np[todo]],
+            "rhat_after": [float(v) for v in rhat_np[todo0]],
             "still_flagged": [int(v) for v in still],
+            "rounds": rounds,
         }
         if verbose:
             print(
                 f"[run_sbc] remediation: {int(still.size)}/{D} datasets "
-                f"still flagged after re-run",
+                f"still flagged after {len(rounds)} round(s)",
                 flush=True,
             )
 

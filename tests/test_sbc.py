@@ -203,7 +203,7 @@ def test_sbc_mixing_gate_remediation(tiny_setup, tmp_path):
     cfg = cfg.replace(
         SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=20, WARMUP_STEPS=15,
         SBC_RHAT_GATE=-1.0,  # flag everything
-        SBC_REMEDIATE=True,
+        SBC_REMEDIATE=True, SBC_REMEDIATE_ROUNDS=1,
     )
     out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
     rem = out["remediation"]
@@ -214,6 +214,7 @@ def test_sbc_mixing_gate_remediation(tiny_setup, tmp_path):
     assert len(rem["rhat_before"]) == len(rem["rhat_after"]) == 2
     # gate is impossible, so everything stays flagged after the re-run
     assert rem["still_flagged"] == [0, 1]
+    assert len(rem["rounds"]) == 1
     assert out["flagged_final"] == [0, 1]
     # remediated draws replaced the originals and are valid posterior draws
     assert out["ranks"].shape == (2, 5)
@@ -239,10 +240,34 @@ def test_sbc_remediation_substitutes_draws(tiny_setup, tmp_path):
     assert out_off["remediation"] is None
     assert out_off["flagged_final"] == [0, 1]  # flagged but not re-run
     out_on = run_sbc(
-        base.replace(SBC_RHAT_GATE=-1.0, SBC_REMEDIATE=True),
+        base.replace(
+            SBC_RHAT_GATE=-1.0, SBC_REMEDIATE=True, SBC_REMEDIATE_ROUNDS=1,
+        ),
         prior, est, outdir=tmp_path / "on", seed=0, verbose=False,
     )
     # same main pass (same seed), but remediation replaced the draws
     assert not np.allclose(
         out_off["all_samples"][0], out_on["all_samples"][0]
     )
+
+
+def test_sbc_remediation_escalates_rounds(tiny_setup, tmp_path):
+    """Round-4 VERDICT #4: an impossible gate forces every escalation round
+    to run; each round doubles down on warmup (2x, 4x) and records its own
+    diagnostics, and the min-RT-informed t_nd init keeps the substituted
+    draws valid posterior samples."""
+    prior, est, cfg = tiny_setup
+    cfg = cfg.replace(
+        SBC_NUM_DATASETS=2, SBC_POST_SAMPLES=20, WARMUP_STEPS=10,
+        SBC_RHAT_GATE=-1.0,  # flag everything, every round
+        SBC_REMEDIATE=True, SBC_REMEDIATE_ROUNDS=2,
+        SBC_REMEDIATE_TAU_INIT=True,
+    )
+    out = run_sbc(cfg, prior, est, outdir=tmp_path, seed=0, verbose=False)
+    rem = out["remediation"]
+    assert [r["round"] for r in rem["rounds"]] == [1, 2]
+    assert [r["warmup"] for r in rem["rounds"]] == [20, 40]
+    assert rem["warmup"] == 20  # legacy field = round-1 warmup
+    s = np.asarray(out["all_samples"]).reshape(-1, 5)
+    assert np.isfinite(s).all()
+    assert (s[:, 4] > 0).all() and (s[:, 4] < 1).all()
