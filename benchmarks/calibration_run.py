@@ -93,6 +93,14 @@ def main():
         help="load a saved model from MODEL_DIR instead of retraining",
     )
     p.add_argument(
+        "--train-only",
+        action="store_true",
+        help="simulate + train + save the model, then stop before SBC "
+        "(writes <outdir>/train_summary.json); lets cheap estimator gates "
+        "— e.g. benchmarks/likelihood_slope.py — run before committing a "
+        "multi-hour SBC window to the model (round-4 VERDICT #2)",
+    )
+    p.add_argument(
         "--model",
         type=str,
         default="mnle_calibration.npz",
@@ -227,6 +235,21 @@ def main():
         train_wall = time.time() - t0
         print(f"[calibration] trained in {train_wall:.1f}s")
         save_model(est, cfg, filename=args.model)
+
+    if args.train_only:
+        train_summary = {
+            "model_file": args.model,
+            "sims": args.sims,
+            "sim_wall_s": sim_wall,
+            "train_wall_s": train_wall,
+            "train_meta": est.train_meta if hasattr(est, "train_meta") else None,
+        }
+        outdir.mkdir(parents=True, exist_ok=True)
+        (outdir / "train_summary.json").write_text(
+            json.dumps(train_summary, indent=2, default=float)
+        )
+        print(f"[calibration] --train-only: wrote {outdir}/train_summary.json")
+        return
 
     t0 = time.time()
     sbc = run_sbc(

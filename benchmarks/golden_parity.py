@@ -90,6 +90,12 @@ def main():
     p.add_argument("--out", type=str, default="artifacts/golden_parity.json")
     p.add_argument("--no-mimic", dest="mimic", action="store_false",
                    help="skip the reference-mimic row")
+    p.add_argument("--calibrated", action="store_true",
+                   help="use the calibrated estimator/sampler stack "
+                        "(run_config.CALIBRATED_CONFIG: shifted-log censored "
+                        "MNLE, log-theta conditioning, PT + tau-slice) at "
+                        "the same matched --sims budget, instead of the "
+                        "reference-style defaults (round-4 VERDICT #3)")
     args = p.parse_args()
 
     if not REF_POSTERIOR.exists():
@@ -111,14 +117,18 @@ def main():
         ExtendedProposal,
         PulseSequenceProposal,
     )
-    from sbi_for_diffusion_models_tpu.run_config import RUN_CONFIG_PARAMS
+    from sbi_for_diffusion_models_tpu.run_config import (
+        CALIBRATED_CONFIG,
+        RUN_CONFIG_PARAMS,
+    )
 
     ref = np.load(REF_POSTERIOR)
     ref_mean, ref_std = ref.mean(0), ref.std(0)
     print(f"[golden_parity] reference posterior mean={ref_mean.round(3)}")
     print(f"[golden_parity] reference posterior std ={ref_std.round(3)}")
 
-    cfg = RUN_CONFIG_PARAMS.replace(
+    base_cfg = CALIBRATED_CONFIG if args.calibrated else RUN_CONFIG_PARAMS
+    cfg = base_cfg.replace(
         NUM_SIMULATIONS=args.sims,
         NUM_CHAINS=args.chains,
         WARMUP_STEPS=args.warmup,
@@ -185,6 +195,7 @@ def main():
         "ref_mean": ref_mean.tolist(),
         "ref_std": ref_std.tolist(),
         "sims": args.sims,
+        "calibrated_stack": bool(args.calibrated),
         "best_practice": best,
         "caveat": (
             "theta conditioned at the reference posterior mean with the "
@@ -205,6 +216,7 @@ def main():
             WARMUP_STEPS=100,
             MCMC_GRID_HOP=False,
             MCMC_PT_REPLICAS=1,
+            MCMC_TAU_SLICE=False,
             MCMC_AUTO_FALLBACK=False,
         )
         mimic = run_row("mimic", mimic_cfg, args.seed + 2)

@@ -407,11 +407,13 @@ class MNLENet(nn.Module):
         ]
         if cfg.cond_affine and cfg.rt_rep != "pulse":
             # (mu, log_sigma) of the conditional location-scale layer
-            # (MNLEConfig.cond_affine). Zero-init keeps it the identity at
-            # init (flax Dense bias starts at 0; kernel at lecun_normal is
-            # fine — clip in _flow_params bounds log_sigma either way).
+            # (MNLEConfig.cond_affine). Zero-init (kernel AND bias) makes the
+            # layer exactly the identity at init, so training starts from
+            # the plain spline-chain density and learns the conditional
+            # shift/scale as a perturbation.
             self.affine_head = nn.Dense(
-                2, name="affine_head", precision=_PRECISION
+                2, name="affine_head", precision=_PRECISION,
+                kernel_init=nn.initializers.zeros,
             )
         if cfg.embed_dim > 0 and cfg.pulse_dim > 0:
             self.pulse_embed = _MLP(

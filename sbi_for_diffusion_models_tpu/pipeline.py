@@ -162,6 +162,10 @@ SMOKE_CONFIG = RUN_CONFIG_PARAMS.replace(
     POSTERIOR_SAMPLES=200,
     SBC_NUM_DATASETS=2,
     SBC_POST_SAMPLES=100,
+    # At 25 draws/chain the min-ESS gate flags every dataset, so the full
+    # escalation ladder would triple the smoke SBC's sampling cost for no
+    # signal; one remediation round keeps the gate exercised but cheap.
+    SBC_REMEDIATE_ROUNDS=1,
 )
 
 
@@ -178,9 +182,26 @@ def _cli(argv=None):
         action="store_true",
         help="small-scale config (~2-4 min): fewer sims/epochs/chains",
     )
+    p.add_argument(
+        "--preset",
+        choices=("calibrated", "reference"),
+        default="calibrated",
+        help="'calibrated' (default): the stack the SBC oracle passes with "
+        "(run_config.CALIBRATED_CONFIG — shifted-log censored MNLE at 10M "
+        "sims, PT6 + tau-slice NUTS); 'reference': the reference's exact "
+        "default field values (reference run_config.py:4-44), which the "
+        "repo's own calibration index shows mis-calibrated at scale",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    cfg = SMOKE_CONFIG if args.smoke else RUN_CONFIG_PARAMS
+    if args.smoke:
+        cfg = SMOKE_CONFIG
+    elif args.preset == "calibrated":
+        from .run_config import CALIBRATED_CONFIG
+
+        cfg = CALIBRATED_CONFIG
+    else:
+        cfg = RUN_CONFIG_PARAMS
     main(cfg, seed=args.seed)
 
 

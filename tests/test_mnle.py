@@ -620,6 +620,21 @@ def test_log_theta_dims_out_of_range_rejected():
         train_mnle(cfg, None, z, x, verbose=False)
 
 
+def test_cond_affine_with_pulse_rep_rejected():
+    """MNLE_COND_AFFINE is a spline-chain preconditioner; with the pulse
+    slot/phase factorization there is no spline chain, so train_mnle must
+    reject the combination instead of silently ignoring the flag (advisor
+    round-4 finding)."""
+    cfg = RUN_CONFIG_PARAMS.replace(
+        MNLE_HIDDEN_FEATURES=32, MNLE_NUM_TRANSFORMS=3, MNLE_NUM_BINS=8,
+        MNLE_RT_REP="pulse", MNLE_CENSOR_RT=True, MNLE_COND_AFFINE=True,
+    )
+    z = jnp.ones((50, 9))
+    x = jnp.stack([jnp.full(50, 0.4), jnp.zeros(50)], -1)
+    with pytest.raises(ValueError, match="MNLE_COND_AFFINE"):
+        train_mnle(cfg, None, z, x, verbose=False)
+
+
 def test_log_condition_dims_fused_parity():
     """The Pallas fused path applies the same conditioning transform."""
     from sbi_for_diffusion_models_tpu.ops.mnle_pallas import make_fused_logprob
@@ -895,6 +910,23 @@ def _affine_est(key=47, **kw):
     return build_mnle(jax.random.key(key), cfg), cfg
 
 
+def _with_random_affine(est, key=52, scale=0.05):
+    """Copy of ``est`` with a nontrivial condition-dependent affine head
+    (build_mnle now zero-inits the head to the identity, so fresh params
+    would leave the affine path untested)."""
+    k1, k2 = jax.random.split(jax.random.key(key))
+    kern = jnp.asarray(est.params["affine_head"]["kernel"])
+    p = dict(est.params)
+    p["affine_head"] = {
+        "kernel": scale * jax.random.normal(k1, kern.shape, kern.dtype),
+        "bias": 0.3 * jax.random.normal(k2, (2,), jnp.float32),
+    }
+    return est.__class__(
+        cfg=est.cfg, params=p, cond_mean=est.cond_mean, cond_std=est.cond_std,
+        x_mean=est.x_mean, x_std=est.x_std, train_meta=None,
+    )
+
+
 def _with_fixed_affine(est, mu=0.7, ls=0.4):
     """Copy of ``est`` whose affine head outputs exactly (mu, ls)."""
     p = dict(est.params)
@@ -947,10 +979,39 @@ def test_cond_affine_exact_identity():
     )
 
 
+def test_cond_affine_identity_at_init():
+    """Zero-init of the affine head's kernel AND bias (advisor round-4
+    finding): a freshly built cond-affine estimator is exactly the plain
+    spline-chain density at init — (mu, log_sigma) = (0, 0) for every
+    condition."""
+    from sbi_for_diffusion_models_tpu.nets.mnle_net import MNLENet
+
+    est_a, cfg_a = _affine_est()
+    assert not np.any(np.asarray(est_a.params["affine_head"]["kernel"]))
+    assert not np.any(np.asarray(est_a.params["affine_head"]["bias"]))
+    cfg0 = MNLEConfig(
+        condition_dim=9, num_categories=3, rt_rep="shifted_log",
+        censor_rt=True, **SMALL,
+    )
+    net_a, net_0 = MNLENet(cfg_a), MNLENet(cfg0)
+    B = 17
+    u = jnp.linspace(-2.5, 2.5, B)
+    c = jnp.abs(jax.random.normal(jax.random.key(51), (B, 9))) + 0.1
+    oh = jax.nn.one_hot(jnp.ones((B,), jnp.int32), 3)
+    lp_a = net_a.apply({"params": est_a.params}, u, c, oh,
+                       method=MNLENet.flow_log_prob)
+    lp_0 = net_0.apply({"params": est_a.params}, u, c, oh,
+                       method=MNLENet.flow_log_prob)
+    np.testing.assert_allclose(
+        np.asarray(lp_a), np.asarray(lp_0), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_cond_affine_normalizes():
     """Exact -ls log-det: the full density must still integrate to
     1 - P(censored)."""
     est, cfg = _affine_est()
+    est = _with_random_affine(est)  # nontrivial affine (init is identity)
     theta = jnp.array([0.5, 0.4, 1.2, 8.0, 0.31], jnp.float32)
     pulses = jnp.where(
         jax.random.uniform(jax.random.key(50), (4,)) < 0.5, 1.0, -1.0
@@ -984,6 +1045,7 @@ def test_cond_affine_fused_parity():
     )
 
     est, cfg = _affine_est()
+    est = _with_random_affine(est)  # nontrivial affine (init is identity)
     fused = make_fused_logprob(est, interpret=True)
     k1, k2, k3 = jax.random.split(jax.random.key(51), 3)
     t_nd = 0.3
@@ -1009,6 +1071,7 @@ def test_cond_affine_fused_parity():
 def test_cond_affine_save_load_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("MODEL_DIR", str(tmp_path))
     est, cfg = _affine_est()
+    est = _with_random_affine(est)  # nontrivial affine (init is identity)
     save_model(est, RUN_CONFIG_PARAMS, filename="affine.npz")
     est2 = load_model("affine.npz")
     assert est2.cfg.cond_affine is True
