@@ -96,6 +96,11 @@ def main():
                         "MNLE, log-theta conditioning, PT + tau-slice) at "
                         "the same matched --sims budget, instead of the "
                         "reference-style defaults (round-4 VERDICT #3)")
+    p.add_argument("--cond-affine", action="store_true",
+                   help="add the conditional location-scale layer "
+                        "(MNLE_COND_AFFINE) on top of the chosen stack — "
+                        "the round-4/5 structural fix for over-smoothed "
+                        "near-deterministic conditions")
     args = p.parse_args()
 
     if not REF_POSTERIOR.exists():
@@ -134,6 +139,7 @@ def main():
         WARMUP_STEPS=args.warmup,
         POSTERIOR_SAMPLES=args.samples,
         MCMC_MAX_TREE_DEPTH=8,
+        **({"MNLE_COND_AFFINE": True} if args.cond_affine else {}),
     )
     prior = build_prior_theta()
     P = n_pulses_max_from_schedule(*pulse_schedule())
