@@ -34,6 +34,18 @@ else
   echo "$(stamp) [affine5] SKIPPED (summary exists)"
 fi
 
+if [ ! -f artifacts/likelihood_slope_affine.json ]; then
+  echo "$(stamp) [slope5] tau likelihood-profile slope of the affine model"
+  bash "$WAIT" timeout 1800 python benchmarks/likelihood_slope.py \
+    --models mnle_10m_shifted_logt_affine.npz \
+    --dims 4 --datasets 4 --points 11 --reps 1024 \
+    --out artifacts/likelihood_slope_affine.json \
+    > /tmp/r5_slope.log 2>&1
+  echo "$(stamp) [slope5] exit=$?"
+else
+  echo "$(stamp) [slope5] SKIPPED (artifact exists)"
+fi
+
 if [ ! -f artifacts/golden_parity_calibrated.json ]; then
   echo "$(stamp) [goldp5] golden parity, calibrated + cond-affine stack"
   bash "$WAIT" timeout 5400 python benchmarks/golden_parity.py \
